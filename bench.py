@@ -1,0 +1,110 @@
+"""Headline benchmark (SURVEY.md §6/§7 M7).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extra": {"corpus_files_per_sec": ..., "query_p95_ms": ...}}
+
+Headline pieces (BASELINE.json:2 — build throughput + query p95):
+  * build a block-compressed inverted index over the sf documents table
+  * build one over an N-file synthetic code corpus → files/sec
+  * timed top-k BM25 searches (block-max WAND path) → p95 latency
+
+Scaling-efficiency evidence (two parallelism levels) is produced by
+``scripts/scaling_bench.py``, which shells out to this file at
+local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    corpus_n = int(os.environ.get("BENCH_CORPUS_N", "20000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from datastream_io_spark.corpus import corpus_df
+    from datastream_io_spark.operators.build import build_index
+    from datastream_io_spark.operators.indexed_search import search_indexed
+    from datastream_io_spark.session import get_spark
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
+    tmp = tempfile.mkdtemp(prefix="bench_idx_")
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+
+    # 1. documents index (the driver fixture corpus)
+    doc_idx = os.path.join(tmp, "docs")
+    t0 = time.time()
+    build_index(spark, documents_as_corpus(spark, sf_dir), doc_idx,
+                n_splits=4, n_buckets=16, tokenizer="simple",
+                salt_threshold=1000, n_salts=8,
+                source_desc=f"{sf_dir}/documents.parquet")
+    timings["build_documents_index"] = time.time() - t0
+
+    # 2. synthetic code corpus index → files/sec headline
+    code_idx = os.path.join(tmp, "code")
+    corpus = corpus_df(spark, corpus_n)
+    t0 = time.time()
+    build_index(spark, corpus, code_idx, n_splits=8, n_buckets=32,
+                tokenizer="code", salt_threshold=100_000, n_salts=8,
+                source_desc=f"synthetic n={corpus_n}")
+    build_sec = time.time() - t0
+    timings[f"build_corpus_{corpus_n}"] = build_sec
+    files_per_sec = corpus_n / build_sec
+
+    # 3. query latencies (block-max WAND path), 3 rounds each
+    doc_queries = [("scan", "and"), ("window agg", "and"),
+                   ("window agg", "or"), ("spark stream batch", "and")]
+    code_queries = [("parseConfig", "and"), ("parse config", "and"),
+                    ("import os error", "or"), ("def", "and")]
+    lat_ms: list[float] = []
+    for idx, qs, tag in [(doc_idx, doc_queries, "doc"),
+                         (code_idx, code_queries, "code")]:
+        for qi, (q, mode) in enumerate(qs):
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                rows = search_indexed(spark, idx, q, 10, mode).collect()
+                dt = time.time() - t0
+                lat_ms.append(dt * 1000)
+                best = dt if best is None else min(best, dt)
+            timings[f"q_{tag}{qi}_{mode}"] = best
+            assert rows is not None
+
+    total = time.time() - t_suite
+    p95 = float(np.percentile(np.array(lat_ms), 95))
+    out = {
+        "metric": "fulltext_index_build_plus_bm25_topk_suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": sf,
+        "extra": {
+            "cpus": cpus,
+            "corpus_files": corpus_n,
+            "corpus_files_per_sec": round(files_per_sec, 2),
+            "query_p95_ms": round(p95, 1),
+            "n_queries_timed": len(lat_ms),
+        },
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,667 @@
+"""Driver-contract query catalog: one (queries, oracle_sql) pair per
+implemented operator from SURVEY.md §2 — imported by ``__spark_entry__``.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value hash, SURVEY.md §5.1):
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * integer aggregates are cast to long/BIGINT on both sides;
+  * float columns are made hash-stable: either the float math is
+    bit-deterministic on both engines (same IEEE ops in same order) or
+    the value is rounded (r6/r9) AFTER all ranking decisions;
+  * money-style sums go through decimal(38,6) so the result is exact
+    and order-independent, then cast back to double;
+  * timestamp queries pin the session timezone to UTC at call time
+    (DuckDB parquet timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datastream_io_spark.functions.bm25 import idf_col, tf_norm_col
+from datastream_io_spark.functions.tokenize import tokenize_simple_udf
+from datastream_io_spark.operators import postings as P
+from datastream_io_spark.operators.relational_search import (
+    parse_query,
+    score_query_terms,
+    topk_from_scored,
+)
+from datastream_io_spark.sources.scan import load_table
+
+# --------------------------------------------------------------------------
+# shared building blocks
+# --------------------------------------------------------------------------
+
+TOK_SQL = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9_]+'), t -> t <> '')) AS term FROM documents"
+)
+
+BM25_CTE = f"""
+WITH tok AS ({TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT avg(dl) FROM dl) AS avgdl),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+       WHERE tf.term IN ({{terms}}))
+"""
+
+
+def _bm25_oracle(terms: list[str], k: int, mode: str) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    return (
+        BM25_CTE.format(terms=tlist)
+        + f"SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id "
+        f"{having} ORDER BY sum(s) DESC, doc_id LIMIT {k}"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents tokenized via the VECTORIZED PANDAS UDF (T1) — every
+    oracle hit on anything downstream re-verifies the Arrow UDF chain."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", tokenize_simple_udf(F.col("text")).alias("tokens")
+    )
+
+
+def _bm25_relational(spark, sf_dir, query, k, mode):
+    docs = _docs(spark, sf_dir)
+    terms = parse_query(query, "simple")
+    scored = score_query_terms(docs, terms, "doc_id", "text", "simple", use_udf=True)
+    topk = topk_from_scored(scored, len(terms), k, mode)
+    return topk.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --------------------------------------------------------------------------
+# §2.3 tokenization / postings statistics (T1–T5)
+# --------------------------------------------------------------------------
+
+def q_tokenize_explode(spark, sf_dir):
+    return P.doc_terms(_doc_tokens(spark, sf_dir))
+
+
+o_tokenize_explode = TOK_SQL
+
+
+def q_term_freq(spark, sf_dir):
+    return P.term_freq(P.doc_terms(_doc_tokens(spark, sf_dir)))
+
+
+o_term_freq = (
+    f"WITH tok AS ({TOK_SQL}) "
+    "SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term"
+)
+
+
+def q_doc_freq(spark, sf_dir):
+    tf = P.term_freq(P.doc_terms(_doc_tokens(spark, sf_dir)))
+    return P.doc_freq(tf)
+
+
+o_doc_freq = (
+    f"WITH tok AS ({TOK_SQL}) "
+    "SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term"
+)
+
+
+def q_doc_len(spark, sf_dir):
+    return P.doc_len(_doc_tokens(spark, sf_dir))
+
+
+o_doc_len = (
+    f"WITH tok AS ({TOK_SQL}) "
+    "SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id"
+)
+
+
+def q_corpus_stats(spark, sf_dir):
+    dl = P.doc_len(_doc_tokens(spark, sf_dir))
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+o_corpus_stats = (
+    f"WITH tok AS ({TOK_SQL}), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1) "
+    "SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl"
+)
+
+
+def q_idf_dict(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tf = P.term_freq(P.doc_terms(_doc_tokens(spark, sf_dir)))
+    return P.doc_freq(tf).select(
+        "term", "df", F.round(idf_col(F.col("df"), n), 9).alias("idf")
+    )
+
+
+o_idf_dict = (
+    f"WITH tok AS ({TOK_SQL}), "
+    "dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term) "
+    "SELECT term, df, round(ln(1 + ((SELECT count(*) FROM documents) - df + 0.5)"
+    " / (df + 0.5)), 9) AS idf FROM dfq"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.5 BM25 top-k (Q3–Q6, relational path) + indexed WAND path (Q7/Q8)
+# --------------------------------------------------------------------------
+
+def q_bm25_topk_and(spark, sf_dir):
+    return _bm25_relational(spark, sf_dir, "window agg", 10, "and")
+
+
+o_bm25_topk_and = _bm25_oracle(["agg", "window"], 10, "and")
+
+
+def q_bm25_topk_or(spark, sf_dir):
+    return _bm25_relational(spark, sf_dir, "scan merge sort", 10, "or")
+
+
+o_bm25_topk_or = _bm25_oracle(["merge", "scan", "sort"], 10, "or")
+
+
+def q_bm25_indexed_and(spark, sf_dir):
+    """Full engine path: build index → block-max WAND search → map the
+    internal doc ids back to the fixture's doc_id via the synthetic path
+    ('doc_<id>'). End-to-end oracle for build+merge+codec+WAND."""
+    from datastream_io_spark.operators.build import build_index
+    from datastream_io_spark.operators.indexed_search import search_indexed
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="dq_index_")
+    build_index(spark, corpus, idx, n_splits=4, n_buckets=8,
+                tokenizer="simple", salt_threshold=100, n_salts=4,
+                source_desc=f"{sf_dir}/documents.parquet")
+    topk = search_indexed(spark, idx, "window agg", 10, "and",
+                          with_doc_cols=True)
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+o_bm25_indexed_and = _bm25_oracle(["agg", "window"], 10, "and")
+
+
+# --------------------------------------------------------------------------
+# §2.2 scalar expressions (P3, P4)
+# --------------------------------------------------------------------------
+
+def q_content_sha256(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2("text", 256).alias("content_sha256")
+    )
+
+
+o_content_sha256 = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+
+def q_doc_id_assign(spark, sf_dir):
+    w = Window.orderBy("source", "doc_id")
+    return _docs(spark, sf_dir).select(
+        (F.row_number().over(w).cast("long") - 1).alias("rid"), "doc_id"
+    )
+
+
+o_doc_id_assign = (
+    "SELECT row_number() OVER (ORDER BY source, doc_id) - 1 AS rid, doc_id "
+    "FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.7 aggregations (A1/A2/A5)
+# --------------------------------------------------------------------------
+
+def _dec_sum(col, alias):
+    return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("count_order"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+o_agg_pricing_summary = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       count(*) AS count_order,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup_metrics(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+o_rollup_metrics = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+)
+
+
+def q_cube_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+o_cube_orders = (
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+)
+
+
+# --------------------------------------------------------------------------
+# §2.6 joins (J1–J8)
+# --------------------------------------------------------------------------
+
+def q_join_dims_broadcast(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_cust"),
+             _dec_sum(F.col("c_acctbal"), "sum_bal"))
+    )
+
+
+o_join_dims_broadcast = """
+SELECT r_name, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_orders_lineitem(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+o_join_orders_lineitem = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_left_join_order_counts(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders")
+    )
+
+
+o_left_join_order_counts = """
+SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+) t ON c_custkey = o_custkey
+"""
+
+
+def q_semi_join_active_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+o_semi_join_active_customers = (
+    "SELECT c_custkey FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def q_anti_join_inactive_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+o_anti_join_inactive_customers = (
+    "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+def q_asof_latest_order(spark, sf_dir):
+    """J7 — as-of: newest order per customer (ties → highest orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+o_asof_latest_order = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+def q_range_join_event_pairs(spark, sf_dir):
+    """J6 — non-equi range join: follow-up events of the same user
+    within 5 minutes."""
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(F.col("user_id").alias("u"), F.col("ts").alias("ts_a"),
+                 F.col("event_type").alias("type_a"))
+    b = e.select(F.col("user_id").alias("u"), F.col("ts").alias("ts_b"))
+    joined = a.join(
+        b,
+        (a.u == b.u)
+        & (b.ts_b > a.ts_a)
+        & (b.ts_b <= F.col("ts_a") + F.expr("interval 5 minutes")),
+    )
+    return joined.groupBy("type_a").agg(F.count("*").alias("n_pairs"))
+
+
+o_range_join_event_pairs = """
+SELECT a.event_type AS type_a, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 windows / sorts / set ops (W1–W8)
+# --------------------------------------------------------------------------
+
+def q_window_rank_top_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+o_window_rank_top_orders = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t WHERE rn <= 3
+"""
+
+
+def q_window_lag_interarrival(spark, sf_dir):
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))).alias("gap_us"),
+    )
+
+
+o_window_lag_interarrival = """
+SELECT event_id,
+       epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)) AS gap_us
+FROM events
+"""
+
+
+def q_window_rolling_sum(spark, sf_dir):
+    """W3 — frame spec: running sum of the last 100 events per user
+    (decimal inside the frame → order-independent exact result)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    return e.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+        .cast("double").alias("rolling_value"),
+    )
+
+
+o_window_rolling_sum = """
+SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
+FROM events
+"""
+
+
+def q_distinct_segments(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+o_distinct_segments = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_set_ops_brands(spark, sf_dir):
+    """W7 — brands selling ECONOMY parts but no SMALL parts."""
+    p = load_table(spark, sf_dir, "part")
+    econ = p.where(F.col("p_type") == "ECONOMY").select("p_brand")
+    small = p.where(F.col("p_type") == "SMALL").select("p_brand")
+    return econ.distinct().exceptAll(small.distinct())
+
+
+o_set_ops_brands = """
+SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
+EXCEPT
+SELECT DISTINCT p_brand FROM part WHERE p_type = 'SMALL'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.9 scalar function surface (string / date / json / array)
+# --------------------------------------------------------------------------
+
+def q_string_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+    )
+
+
+o_string_funcs = """
+SELECT p_partkey, lower(p_name) AS lname,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_name, 1, 5) AS prefix5,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word
+FROM part
+"""
+
+
+def q_date_funcs(spark, sf_dir):
+    _utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+o_date_funcs = (
+    "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n "
+    "FROM events GROUP BY 1"
+)
+
+
+def q_json_funcs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+o_json_funcs = """
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_array_funcs(spark, sf_dir):
+    """§2.9 array tier: fold (aggregate) over the embedding vector —
+    identical left-fold order + explicit double casts on both engines
+    → bit-deterministic before rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("norm2"),
+    )
+
+
+o_array_funcs = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       round(list_reduce(list_prepend(0.0, list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b), 6) AS norm2
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# catalogs
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "tokenize_explode": q_tokenize_explode,
+    "term_freq": q_term_freq,
+    "doc_freq": q_doc_freq,
+    "doc_len": q_doc_len,
+    "corpus_stats": q_corpus_stats,
+    "idf_dict": q_idf_dict,
+    "bm25_topk_and": q_bm25_topk_and,
+    "bm25_topk_or": q_bm25_topk_or,
+    "bm25_indexed_and": q_bm25_indexed_and,
+    "content_sha256": q_content_sha256,
+    "doc_id_assign": q_doc_id_assign,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "rollup_metrics": q_rollup_metrics,
+    "cube_orders": q_cube_orders,
+    "join_dims_broadcast": q_join_dims_broadcast,
+    "join_orders_lineitem": q_join_orders_lineitem,
+    "left_join_order_counts": q_left_join_order_counts,
+    "semi_join_active_customers": q_semi_join_active_customers,
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "asof_latest_order": q_asof_latest_order,
+    "range_join_event_pairs": q_range_join_event_pairs,
+    "window_rank_top_orders": q_window_rank_top_orders,
+    "window_lag_interarrival": q_window_lag_interarrival,
+    "window_rolling_sum": q_window_rolling_sum,
+    "distinct_segments": q_distinct_segments,
+    "set_ops_brands": q_set_ops_brands,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "json_funcs": q_json_funcs,
+    "array_funcs": q_array_funcs,
+}
+
+ORACLES = {
+    "tokenize_explode": o_tokenize_explode,
+    "term_freq": o_term_freq,
+    "doc_freq": o_doc_freq,
+    "doc_len": o_doc_len,
+    "corpus_stats": o_corpus_stats,
+    "idf_dict": o_idf_dict,
+    "bm25_topk_and": o_bm25_topk_and,
+    "bm25_topk_or": o_bm25_topk_or,
+    "bm25_indexed_and": o_bm25_indexed_and,
+    "content_sha256": o_content_sha256,
+    "doc_id_assign": o_doc_id_assign,
+    "agg_pricing_summary": o_agg_pricing_summary,
+    "rollup_metrics": o_rollup_metrics,
+    "cube_orders": o_cube_orders,
+    "join_dims_broadcast": o_join_dims_broadcast,
+    "join_orders_lineitem": o_join_orders_lineitem,
+    "left_join_order_counts": o_left_join_order_counts,
+    "semi_join_active_customers": o_semi_join_active_customers,
+    "anti_join_inactive_customers": o_anti_join_inactive_customers,
+    "asof_latest_order": o_asof_latest_order,
+    "range_join_event_pairs": o_range_join_event_pairs,
+    "window_rank_top_orders": o_window_rank_top_orders,
+    "window_lag_interarrival": o_window_lag_interarrival,
+    "window_rolling_sum": o_window_rolling_sum,
+    "distinct_segments": o_distinct_segments,
+    "set_ops_brands": o_set_ops_brands,
+    "string_funcs": o_string_funcs,
+    "date_funcs": o_date_funcs,
+    "json_funcs": o_json_funcs,
+    "array_funcs": o_array_funcs,
+}

@@ -1,0 +1,135 @@
+"""C2/C3 — posting-list block codec: delta + varint, PForDelta-style
+blocks with block-max metadata (SURVEY.md §2.4; BASELINE.json:6).
+
+Layout follows the columnar-inverted-index design (ICDE 2025, PAPERS.md)
+and classic PForDelta (Zukowski et al., ICDE 2006): postings are split
+into blocks of ≤128 doc ids; per block we store
+
+    first_doc_id : int64   absolute — blocks are position-independent,
+                           so merging runs never re-encodes
+    max_doc_id   : int64   block-skip bound (intersection)
+    n            : int32   postings in the block
+    max_tf       : int32   raw tf bound
+    max_tfn      : float32 max of the BM25 tf-normalization term in the
+                           block — query-time block upper bound is
+                           idf(t) * max_tfn (block-max WAND, Ding & Suel
+                           SIGIR 2011)
+    docs         : binary  varint deltas of doc_ids[1:] (doc_ids[0] ==
+                           first_doc_id); strictly positive
+    tfs          : binary  varint tfs (n values)
+
+Everything is numpy-vectorized (no per-row Python): encode loops only
+over byte-positions (≤10), decode has a fast path for the dominant
+all-single-byte case and an ``np.add.at`` scatter otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datastream_io_spark import BLOCK_SIZE
+
+_U64_7 = np.uint64(7)
+_U64_0x7F = np.uint64(0x7F)
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """LEB128-style varint pack of a uint64 array, vectorized."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.size, np.int64)
+    x = v >> _U64_7
+    while x.any():
+        nb += (x > 0)
+        x = x >> _U64_7
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), np.uint8)
+    for j in range(int(nb.max())):
+        mask = nb > j
+        idx = starts[mask] + j
+        byte = ((v[mask] >> np.uint64(7 * j)) & _U64_0x7F).astype(np.uint8)
+        cont = (nb[mask] - 1 > j).astype(np.uint8)
+        out[idx] = byte | (cont << 7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`varint_encode`; returns uint64[n]."""
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    b = np.frombuffer(buf, np.uint8)
+    if b.size == n:  # fast path: every value fit in one byte
+        return (b & 0x7F).astype(np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    lens = np.diff(ends, prepend=-1)  # bytes per value
+    starts = ends - lens + 1
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens)
+    val_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+    vals = np.zeros(n, np.uint64)
+    np.add.at(
+        vals, val_of_byte,
+        (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64),
+    )
+    return vals
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    tfns: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """C2 — sorted (doc_id, tf, tf_norm) arrays → list of block dicts.
+
+    ``doc_ids`` must be strictly increasing int64; ``tfns`` is the
+    precomputed per-posting BM25 tf-normalization (needs global avgdl,
+    frozen in the build's phase-A stats before any segment runs).
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, np.int64)
+    tfs = np.ascontiguousarray(tfs, np.int64)
+    blocks: list[dict] = []
+    for s in range(0, doc_ids.size, block_size):
+        e = min(s + block_size, doc_ids.size)
+        ids = doc_ids[s:e]
+        deltas = np.diff(ids).astype(np.uint64)  # strictly positive
+        blocks.append(
+            {
+                "first_doc_id": int(ids[0]),
+                "max_doc_id": int(ids[-1]),
+                "n": int(e - s),
+                "max_tf": int(tfs[s:e].max()),
+                "max_tfn": float(np.max(tfns[s:e])),
+                "docs": varint_encode(deltas),
+                "tfs": varint_encode(tfs[s:e].astype(np.uint64)),
+            }
+        )
+    return blocks
+
+
+def decode_block_docs(block) -> np.ndarray:
+    """Doc ids of one block (int64, sorted). ``block`` is a dict or Row."""
+    n = block["n"]
+    first = block["first_doc_id"]
+    deltas = varint_decode(block["docs"], n - 1)
+    out = np.empty(n, np.int64)
+    out[0] = first
+    if n > 1:
+        np.cumsum(deltas.astype(np.int64), out=out[1:])
+        out[1:] += first
+    return out
+
+
+def decode_block_tfs(block) -> np.ndarray:
+    return varint_decode(block["tfs"], block["n"]).astype(np.int64)
+
+
+def decode_blocks(blocks) -> tuple[np.ndarray, np.ndarray]:
+    """C3 — full posting list back from a list of blocks."""
+    if not blocks:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ids = np.concatenate([decode_block_docs(b) for b in blocks])
+    tfs = np.concatenate([decode_block_tfs(b) for b in blocks])
+    return ids, tfs

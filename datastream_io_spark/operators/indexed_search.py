@@ -1,0 +1,241 @@
+"""Q1–Q8 indexed query path with block-max pruning (SURVEY.md §3.2, §2.5).
+
+Architecture: document-range-partitioned search. The merged index keeps
+one posting row per (term, split); a split owns a contiguous dense
+doc_id range. A query fans out as
+
+  dict lookup (Q2, tiny broadcast-side read, term_bucket pruning)
+  → postings scan filtered to (term_bucket ∈ q_buckets, term ∈ q)
+      — partition pruning on the ``term_bucket=K`` directory layout
+        means only |q| of B bucket directories are even listed
+  → ``applyInPandas`` per split (Q7): vectorized block-skip
+      intersection (AND) / block-max upper-bound two-phase scoring (OR)
+      emitting ≤k exact-scored candidates per split
+  → global top-k (Q6): ``orderBy(score desc, doc_id asc).limit(k)``
+      → physical TakeOrderedAndProject (no global sort)
+  → optional broadcast join back to docs/ for display columns (J1).
+
+Block-max usage (Ding & Suel, SIGIR 2011, adapted to vectorized batch
+execution): per-block ``max_tfn`` gives the score upper bound
+``idf(t) * max_tfn``. The OR path decodes doc ids only, accumulates
+per-doc upper bounds, exact-scores the top-k-by-bound to establish θ,
+and then exact-scores only survivors (bound ≥ θ) — docs below θ are
+never tf-decoded or scored. The AND path uses ``[first_doc_id,
+max_doc_id]`` to skip whole blocks that cannot contain any candidate of
+the rarest term. Both paths compute EXACT BM25 for everything they emit
+and sum per-term contributions in sorted term order, so results are
+rank- and score-identical to the relational path and the brute-force
+golden scorer at every parallelism level (BASELINE.json:14).
+
+Per-doc doc_len is served from a broadcast int32 array indexed by the
+dense doc_id (fine up to ~10^9 docs / executor-memory limits; at 10^12
+the scale path stores a quantized per-posting impact instead — noted as
+a deliberate sandbox simplification).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datastream_io_spark import B, K1
+from datastream_io_spark.operators.build import read_stats
+from datastream_io_spark.operators.codec import (
+    decode_block_docs,
+    decode_block_tfs,
+)
+from datastream_io_spark.operators.relational_search import parse_query
+
+# per-index caches (driver-side): doc-length broadcast + stats
+_DL_CACHE: dict[str, object] = {}
+
+
+def _dl_broadcast(spark: SparkSession, index_dir: str):
+    key = os.path.abspath(index_dir)
+    if key not in _DL_CACHE:
+        pdf = (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .select("doc_id", "dl")
+            .toPandas()
+        )
+        arr = np.zeros(int(pdf["doc_id"].max()) + 1 if len(pdf) else 0, np.int32)
+        arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
+        _DL_CACHE[key] = spark.sparkContext.broadcast(arr)
+    return _DL_CACHE[key]
+
+
+def _tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _exact_scores(cand: np.ndarray, term_rows: list, idf: dict[str, float],
+                  dl: np.ndarray, avgdl: float,
+                  decoded: dict) -> np.ndarray:
+    """Exact BM25 of ``cand`` (sorted doc ids) summed over terms in
+    sorted term order (float determinism)."""
+    scores = np.zeros(cand.size, np.float64)
+    dls = dl[cand].astype(np.float64)
+    for term, blocks in sorted(term_rows, key=lambda r: r[0]):
+        # decode only blocks overlapping candidates
+        firsts = np.fromiter((b["first_doc_id"] for b in blocks), np.int64)
+        maxs = np.fromiter((b["max_doc_id"] for b in blocks), np.int64)
+        lo = np.searchsorted(cand, firsts)
+        hi = np.searchsorted(cand, maxs, side="right")
+        need = np.flatnonzero(hi > lo)
+        if need.size == 0:
+            continue
+        ids_parts, tfs_parts = [], []
+        for j in need:
+            ck = (term, int(j))
+            if ck not in decoded or decoded[ck][1] is None:
+                d_prev = decoded[ck][0] if ck in decoded else decode_block_docs(blocks[j])
+                decoded[ck] = (d_prev, decode_block_tfs(blocks[j]))
+            d, t = decoded[ck]
+            ids_parts.append(d)
+            tfs_parts.append(t)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tfs_parts)
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        found = ids[pos_c] == cand
+        if not found.any():
+            continue
+        tf_c = tfs[pos_c[found]].astype(np.float64)
+        scores[found] += idf[term] * _tfn(tf_c, dls[found], avgdl)
+    return scores
+
+
+def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], dl_b, avgdl: float,
+                k: int, mode: str, n_terms: int) -> pd.DataFrame:
+    """Q7 kernel: one document-range split → ≤k exact-scored candidates."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    dl = dl_b.value
+    term_rows = [(r.term, list(r.blocks)) for r in pdf.itertuples()]
+    decoded: dict = {}
+
+    if mode == "and":
+        if len(term_rows) < n_terms:
+            return empty
+        # intersect starting from the rarest term; block-skip the rest
+        by_df = sorted(term_rows, key=lambda r: sum(b["n"] for b in r[1]))
+        cand = np.concatenate([decode_block_docs(b) for b in by_df[0][1]])
+        for term, blocks in by_df[1:]:
+            if cand.size == 0:
+                return empty
+            firsts = np.fromiter((b["first_doc_id"] for b in blocks), np.int64)
+            maxs = np.fromiter((b["max_doc_id"] for b in blocks), np.int64)
+            lo = np.searchsorted(cand, firsts)
+            hi = np.searchsorted(cand, maxs, side="right")
+            need = np.flatnonzero(hi > lo)
+            if need.size == 0:
+                return empty
+            ids = np.concatenate([decode_block_docs(blocks[j]) for j in need])
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            cand = cand[ids[pos_c] == cand]
+        if cand.size == 0:
+            return empty
+        scores = _exact_scores(cand, term_rows, idf, dl, avgdl, decoded)
+    else:
+        # OR: block-max two-phase. Phase 1 — upper bounds from block maxima.
+        ids_all, ub_all = [], []
+        for term, blocks in term_rows:
+            w = idf[term]
+            for j, b in enumerate(blocks):
+                d = decode_block_docs(b)
+                decoded[(term, j)] = (d, None)  # tfs decoded lazily on demand
+                ids_all.append(d)
+                ub_all.append(np.full(d.size, w * b["max_tfn"], np.float64))
+        ids_cat = np.concatenate(ids_all)
+        ub_cat = np.concatenate(ub_all)
+        order = np.argsort(ids_cat, kind="stable")
+        ids_sorted = ids_cat[order]
+        uids, starts = np.unique(ids_sorted, return_index=True)
+        ub = np.add.reduceat(ub_cat[order], starts)
+        if uids.size <= k:
+            cand = uids
+            scores = _exact_scores(cand, term_rows, idf, dl, avgdl, decoded)
+        else:
+            # θ from exact scores of the top-k by upper bound
+            top_by_ub = np.argpartition(-ub, k - 1)[:k]
+            seed = np.sort(uids[top_by_ub])
+            seed_scores = _exact_scores(seed, term_rows, idf, dl, avgdl, decoded)
+            theta = np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k]
+            survivors = ub >= theta  # docs below θ can never enter top-k
+            cand = uids[survivors]
+            scores = _exact_scores(cand, term_rows, idf, dl, avgdl, decoded)
+
+    m = min(k, cand.size)
+    if cand.size > 4 * k:
+        # select everything scoring ≥ the kth score (ALL ties included —
+        # the doc_id tie-break must see every tied doc), then lexsort
+        kth_neg = np.partition(-scores, m - 1)[m - 1]
+        keep = np.flatnonzero(-scores <= kth_neg)
+        sl = np.lexsort((cand[keep], -scores[keep]))[:m]
+        sel = keep[sl]
+    else:
+        sel = np.lexsort((cand, -scores))[:m]
+    return pd.DataFrame({"doc_id": cand[sel].astype("int64"),
+                         "score": scores[sel].astype("float64")})
+
+
+def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str]) -> list:
+    """Q2 — dict rows for query terms (tiny read, bucket-pruned)."""
+    d = spark.read.parquet(os.path.join(index_dir, "dict"))
+    return d.where(F.col("term").isin(terms)).collect()
+
+
+def search_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    with_doc_cols: bool = False,
+) -> DataFrame:
+    """Q8 — end-to-end indexed top-k BM25 search."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    stats = read_stats(index_dir)
+    terms = parse_query(query, stats["tokenizer"])
+    spark_empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return spark_empty
+    dict_rows = lookup_terms(spark, index_dir, terms)
+    if mode == "and" and len(dict_rows) < len(terms):
+        return spark_empty  # some term absent from the corpus
+    if not dict_rows:
+        return spark_empty
+    idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+    found_terms = sorted(idf)
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    prows = postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(found_terms)
+    ).select("split_id", "term", "blocks")
+
+    dl_b = _dl_broadcast(spark, index_dir)
+    avgdl = float(stats["avgdl"])
+    n_terms = len(terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _wand_split(pdf, idf, dl_b, avgdl, k, mode, n_terms)
+
+    cand = prows.groupBy("split_id").applyInPandas(kernel, "doc_id long, score double")
+    topk = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_doc_cols:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "doc_id", "repo", "path", "commit", "lang"
+        )
+        # topk is ≤k rows — broadcast it so the docs join is shuffle-free
+        topk = (
+            docs.join(F.broadcast(topk), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return topk

@@ -1,0 +1,129 @@
+"""Index-build invariants (SURVEY.md §5.2 test_build):
+Σ postings == distinct (term, doc) pairs; df == posting-list length;
+manifest metrics match a recount; sha256 invariant; salted build equals
+unsalted build (C4 self-oracle); doc ids dense + deterministic."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from datastream_io_spark.operators import postings as P
+from datastream_io_spark.operators.build import build_index, read_stats
+from datastream_io_spark.operators.codec import decode_blocks
+from datastream_io_spark.sources.manifest import done_splits, read_split_manifest
+from datastream_io_spark.sources.scan import documents_as_corpus
+from tests.conftest import SF0001, docs_with_text
+
+
+def _explode_index(spark, index_dir):
+    """Decode the whole index back to (term, doc_id, tf) rows via pandas."""
+    rows = spark.read.parquet(f"{index_dir}/postings").collect()
+    out = []
+    for r in rows:
+        ids, tfs = decode_blocks([b.asDict() for b in r.blocks])
+        for d, t in zip(ids, tfs):
+            out.append((r.term, int(d), int(t)))
+    return pd.DataFrame(out, columns=["term", "doc_id", "tf"])
+
+
+def test_index_equals_plain_tf(spark, doc_index):
+    corpus = documents_as_corpus(spark, SF0001)
+    docs_text = docs_with_text(spark, doc_index, corpus)
+    tok = P.with_tokens(docs_text, "text", "simple", use_udf=False)
+    plain = P.term_freq(P.doc_terms(tok)).toPandas()
+    decoded = _explode_index(spark, doc_index)
+    a = plain.sort_values(["term", "doc_id"]).reset_index(drop=True)
+    b = decoded.sort_values(["term", "doc_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["term"].values == b["term"].values).all()
+    assert (a["doc_id"].values == b["doc_id"].values).all()
+    assert (a["tf"].values == b["tf"].values).all()
+
+
+def test_df_matches_posting_lengths(spark, doc_index):
+    post = spark.read.parquet(f"{doc_index}/postings")
+    bad = post.where(
+        F.col("df") != F.aggregate("blocks", F.lit(0).cast("long"),
+                                   lambda acc, b: acc + b["n"])
+    ).count()
+    assert bad == 0
+    # dict df == sum of per-split dfs
+    dict_df = spark.read.parquet(f"{doc_index}/dict").groupBy().agg(
+        F.sum("df")).collect()[0][0]
+    post_df = post.groupBy().agg(F.sum("df")).collect()[0][0]
+    assert dict_df == post_df
+
+
+def test_manifest_metrics_match_recount(spark, doc_index):
+    stats = read_stats(doc_index)
+    assert done_splits(doc_index) == set(range(stats["n_splits"]))
+    seg_totals = (
+        spark.read.parquet(f"{doc_index}/segments/split_*")
+        .groupBy("split_id")
+        .agg(F.sum("df_run").alias("n_postings"),
+             F.countDistinct("term").alias("n_terms"),
+             F.sum("cf_run").alias("cf"))
+        .collect()
+    )
+    for r in seg_totals:
+        m = read_split_manifest(doc_index, int(r.split_id))
+        assert m["status"] == "done"
+        assert m["n_postings"] == r.n_postings
+        assert m["n_terms"] == r.n_terms
+        assert m["cf"] == r.cf
+        assert m["compressed_bytes"] > 0
+    n_docs = sum(read_split_manifest(doc_index, int(r.split_id))["n_docs"]
+                 for r in seg_totals)
+    assert n_docs == stats["n_docs"]
+
+
+def test_sha256_invariant(spark, doc_index):
+    """Per-row invariant (BASELINE.json:15): docs/ sha matches a fresh
+    recompute from the source corpus."""
+    corpus = documents_as_corpus(spark, SF0001).withColumn(
+        "fresh_sha", F.sha2("content", 256))
+    docs = spark.read.parquet(f"{doc_index}/docs")
+    joined = docs.join(corpus, ["repo", "path", "commit"])
+    assert joined.count() == docs.count()
+    assert joined.where(F.col("content_sha256") != F.col("fresh_sha")).count() == 0
+
+
+def test_doc_ids_dense_and_ordered(spark, doc_index):
+    docs = spark.read.parquet(f"{doc_index}/docs").toPandas()
+    ids = np.sort(docs["doc_id"].to_numpy())
+    assert ids[0] == 0 and ids[-1] == len(ids) - 1
+    assert np.array_equal(ids, np.arange(len(ids)))
+    # within a split, doc_id order == (repo, path, commit) order
+    for _, g in docs.groupby("split_id"):
+        g = g.sort_values("doc_id")
+        keys = list(zip(g["repo"], g["path"], g["commit"]))
+        assert keys == sorted(keys)
+
+
+def test_salting_was_exercised_and_equals_unsalted(spark, tmp_path):
+    """documents is adversarially all-hot (FIXTURES.md) — with a tiny
+    threshold every term salts; the final index must equal a build with
+    salting disabled."""
+    corpus = documents_as_corpus(spark, SF0001)
+    salted_dir, plain_dir = str(tmp_path / "salted"), str(tmp_path / "plain")
+    build_index(spark, corpus, salted_dir, n_splits=2, n_buckets=4,
+                tokenizer="simple", salt_threshold=10, n_salts=4)
+    build_index(spark, corpus, plain_dir, n_splits=2, n_buckets=4,
+                tokenizer="simple", salt_threshold=1 << 40, n_salts=4)
+    segs = spark.read.parquet(f"{salted_dir}/segments/split_*")
+    assert segs.where(F.col("salt") > 0).count() > 0, "salting never triggered"
+    a = _explode_index(spark, salted_dir).sort_values(["term", "doc_id"])
+    b = _explode_index(spark, plain_dir).sort_values(["term", "doc_id"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_stats_json(doc_index):
+    stats = read_stats(doc_index)
+    assert stats["n_docs"] == 500
+    assert stats["avgdl"] > 0
+    assert os.path.exists(os.path.join(doc_index, "_INDEX_SUCCESS"))
+    with open(os.path.join(doc_index, "_INDEX_SUCCESS")) as f:
+        assert json.load(f)["n_terms"] > 0

@@ -1,0 +1,68 @@
+"""C2/C3 codec tests (SURVEY.md §5.2): property-style roundtrips over
+seeded random gap distributions, block-boundary edges, varint extremes."""
+
+import numpy as np
+import pytest
+
+from datastream_io_spark.operators.codec import (
+    decode_blocks,
+    encode_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_extremes():
+    v = np.array([0, 1, 127, 128, 129, 2**14 - 1, 2**14, 2**40, 2**63, 2**64 - 1],
+                 dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(v), v.size), v)
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], np.uint64)) == b""
+    assert varint_decode(b"", 0).size == 0
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 255, 256, 257, 1000])
+def test_block_boundaries(n):
+    ids = np.arange(n, dtype=np.int64) * 3 + 7
+    tfs = (np.arange(n, dtype=np.int64) % 50) + 1
+    blocks = encode_blocks(ids, tfs, np.ones(n, np.float32))
+    di, dt = decode_blocks(blocks)
+    assert np.array_equal(di, ids)
+    assert np.array_equal(dt, tfs)
+    assert all(b["n"] <= 128 for b in blocks)
+    assert blocks[0]["first_doc_id"] == 7
+    assert blocks[-1]["max_doc_id"] == ids[-1]
+
+
+def test_random_gap_distributions():
+    rng = np.random.default_rng(42)
+    for _ in range(100):
+        n = int(rng.integers(1, 500))
+        hi = int(rng.choice([2, 128, 2**20, 2**40]))
+        gaps = rng.integers(1, hi + 1, size=n).astype(np.int64)
+        ids = np.cumsum(gaps)
+        tfs = rng.integers(1, 10_000, size=n).astype(np.int64)
+        tfns = rng.random(n).astype(np.float32)
+        blocks = encode_blocks(ids, tfs, tfns)
+        di, dt = decode_blocks(blocks)
+        assert np.array_equal(di, ids)
+        assert np.array_equal(dt, tfs)
+        # block maxima are true maxima (WAND correctness depends on this)
+        off = 0
+        for b in blocks:
+            sl = slice(off, off + b["n"])
+            assert b["max_tf"] == tfs[sl].max()
+            assert b["max_tfn"] == pytest.approx(float(tfns[sl].max()), rel=1e-6)
+            assert b["max_doc_id"] == ids[sl][-1]
+            off += b["n"]
+
+
+def test_compression_is_compact():
+    # dense doc ids (delta=1) must take ~1 byte per posting for docs
+    ids = np.arange(10_000, dtype=np.int64)
+    tfs = np.ones(10_000, np.int64)
+    blocks = encode_blocks(ids, tfs, np.ones(10_000, np.float32))
+    total = sum(len(b["docs"]) + len(b["tfs"]) for b in blocks)
+    assert total < 10_000 * 2.1

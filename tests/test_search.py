@@ -1,0 +1,85 @@
+"""Rank-identity tests (SURVEY.md §5.3): both engine paths (relational
+Column-math and WAND-indexed) must reproduce the brute-force golden
+docIDs exactly and scores to 1e-9, on the all-hot documents corpus and
+the heavy-tailed synthetic code corpus."""
+
+import json
+import os
+
+import pytest
+
+from datastream_io_spark.golden import brute_force_topk
+from datastream_io_spark.operators.indexed_search import search_indexed
+from datastream_io_spark.operators.relational_search import search_relational
+from datastream_io_spark.sources.scan import documents_as_corpus
+from tests.conftest import SF0001, docs_with_text
+from tests.queries_golden import CODE_QUERIES, DOC_QUERIES, K
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _check(engine_rows, expected):
+    got = [(int(r.doc_id), float(r.score)) for r in engine_rows]
+    assert [g[0] for g in got] == [e["doc_id"] for e in expected]
+    for g, e in zip(got, expected):
+        assert g[1] == pytest.approx(e["score"], abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def doc_ctx(spark, doc_index):
+    corpus = documents_as_corpus(spark, SF0001)
+    docs_text = docs_with_text(spark, doc_index, corpus)
+    pdf = docs_text.toPandas()
+    return docs_text, pdf
+
+
+@pytest.fixture(scope="module")
+def code_ctx(spark, code_index, code_corpus):
+    docs_text = docs_with_text(spark, code_index, code_corpus)
+    pdf = docs_text.toPandas()
+    return docs_text, pdf
+
+
+@pytest.mark.parametrize("query,mode", DOC_QUERIES)
+def test_documents_rank_identity(spark, doc_index, doc_ctx, query, mode):
+    docs_text, pdf = doc_ctx
+    expected = brute_force_topk(pdf, query, K, mode, tokenizer="simple")
+    _check(search_indexed(spark, doc_index, query, K, mode).collect(), expected)
+    _check(search_relational(docs_text, query, K, mode,
+                             tokenizer="simple").collect(), expected)
+
+
+@pytest.mark.parametrize("query,mode", CODE_QUERIES)
+def test_code_rank_identity(spark, code_index, code_ctx, query, mode):
+    docs_text, pdf = code_ctx
+    expected = brute_force_topk(pdf, query, K, mode, tokenizer="code")
+    _check(search_indexed(spark, code_index, query, K, mode).collect(), expected)
+    _check(search_relational(docs_text, query, K, mode,
+                             tokenizer="code").collect(), expected)
+
+
+@pytest.mark.parametrize("table,queries", [("documents", DOC_QUERIES),
+                                           ("corpus", CODE_QUERIES)])
+def test_frozen_golden_files(spark, doc_index, code_index, doc_ctx, code_ctx,
+                             table, queries):
+    """Engine output vs the FROZEN golden JSONs (regression pin — catches
+    silent tokenizer/scoring drift that a live brute-force recompute
+    would follow along with)."""
+    idx = doc_index if table == "documents" else code_index
+    for i, (query, mode) in enumerate(queries):
+        path = os.path.join(GOLDEN_DIR, f"topk_{table}_{i}.json")
+        with open(path) as f:
+            frozen = json.load(f)
+        assert frozen["query"] == query and frozen["mode"] == mode
+        _check(search_indexed(spark, idx, query, K, mode).collect(),
+               frozen["topk"])
+
+
+def test_display_join(spark, doc_index):
+    rows = search_indexed(spark, doc_index, "window agg", 5, "and",
+                          with_doc_cols=True).collect()
+    assert len(rows) == 5
+    assert {"repo", "path", "commit", "lang", "score", "doc_id"} <= set(
+        rows[0].asDict())
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
