@@ -597,6 +597,230 @@ FROM embeddings
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# (operators in datastream_io_spark.operators.dataprep)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from datastream_io_spark.operators.dataprep import dedup_exact_groups
+
+    return dedup_exact_groups(_docs(spark, sf_dir))
+
+
+o_dedup_exact = (
+    "SELECT sha256(text) AS content_sha256, count(*) AS n_dups, "
+    "min(doc_id) AS keep_id FROM documents GROUP BY sha256(text)"
+)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from datastream_io_spark.operators.dataprep import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+o_doc_fingerprint = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+           t -> t <> ''), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    from datastream_io_spark.operators.dataprep import text_quality
+
+    return text_quality(_docs(spark, sf_dir))
+
+
+o_text_quality = """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round((n_chars - len(toks) + 1) / len(toks), 6) AS avg_token_len,
+       round((n_chars - length(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')))
+             / n_chars, 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','for','on','with'],
+             lower(x)))) / len(toks), 6) AS stopword_ratio,
+       round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))
+             / n_chars, 6) AS upper_ratio
+FROM t
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from datastream_io_spark.operators.dataprep import token_count_bpe_ish
+
+    return token_count_bpe_ish(_docs(spark, sf_dir))
+
+
+o_token_count = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_pieces
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from datastream_io_spark.operators.dataprep import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.15)
+
+
+o_ngram_jaccard = """
+WITH toks AS (
+  SELECT doc_id AS id, source AS blk,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT id, blk, unnest(list_distinct(CASE WHEN len(tokens) >= 3 THEN
+           list_transform(generate_series(1, len(tokens) - 2),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+         ELSE [] END)) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.shingle = b.shingle
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = doc_a JOIN sizes sb ON sb.id = doc_b
+WHERE i / (sa.sz + sb.sz - i) >= 0.15
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """ANN baseline: exact cosine top-20 to vec_id=0's embedding.
+    Ranking happens on the 6-dp-rounded value in BOTH engines so
+    ulp-level fold differences can't flip ranks."""
+    from datastream_io_spark.operators.dataprep import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    scored = cosine_topk_bruteforce(emb, [float(v) for v in q],
+                                    k=emb.count())
+    return (
+        scored.select("vec_id", F.round("cos", 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+o_cosine_topk = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0,
+             list_transform(list_zip(embedding, (SELECT qv FROM q)),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+             (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform((SELECT qv FROM q),
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)))
+         AS cos
+  FROM embeddings
+)
+SELECT vec_id, round(cos, 6) AS cos FROM s
+ORDER BY round(cos, 6) DESC, vec_id LIMIT 20
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from datastream_io_spark.operators.dataprep import lang_id_heuristic
+
+    return lang_id_heuristic(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """rows-only: candidate pairs from 8-band/32-hash MinHash LSH
+    (validated against exact jaccard in tests/test_dataprep.py)."""
+    from datastream_io_spark.operators.dataprep import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir), n_hashes=32, n_bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    """rows-only: 64-bit simhash per doc (hamming-bucket dedup path)."""
+    from datastream_io_spark.operators.dataprep import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_ivf_ann(spark, sf_dir):
+    """rows-only: IVF-bucketed approximate top-10 (recall vs brute
+    force asserted in tests)."""
+    from datastream_io_spark.operators.dataprep import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_clusters=8, n_iters=5)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb, cents, [float(v) for v in q], k=10, nprobe=3)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """rows-only: binary media column → mapInPandas feature extraction
+    (decode stubbed — no codecs in container; plumbing real)."""
+    from datastream_io_spark.operators.multimodal import (
+        extract_features,
+        synth_media_df,
+    )
+
+    return extract_features(synth_media_df(spark, n=64)).drop("feat")
+
+
+# --------------------------------------------------------------------------
+# §2.7 A3/A6: approx + pandas-UDAF aggregations
+# --------------------------------------------------------------------------
+
+def q_grouped_agg_udaf(spark, sf_dir):
+    """A6 — grouped-agg pandas UDAF (dsio per-sensor statistics shape)."""
+    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
+    def mean_udaf(v):
+        return float(v.mean())
+
+    e = load_table(spark, sf_dir, "events")
+    # pandas UDAFs cannot mix with non-pandas aggregates in one agg
+    return e.groupBy("event_type").agg(
+        F.round(mean_udaf("value"), 6).alias("mean_value"),
+    )
+
+
+o_grouped_agg_udaf = (
+    "SELECT event_type, round(avg(value), 6) AS mean_value "
+    "FROM events GROUP BY event_type"
+)
+
+
+def q_approx_aggs(spark, sf_dir):
+    """A3 — rows-only: approx_count_distinct + percentile_approx (sketch
+    results differ from exact SQL by design)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+    )
+
+
+# --------------------------------------------------------------------------
 # catalogs
 # --------------------------------------------------------------------------
 
@@ -631,6 +855,19 @@ QUERIES = {
     "date_funcs": q_date_funcs,
     "json_funcs": q_json_funcs,
     "array_funcs": q_array_funcs,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "lang_id": q_lang_id,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ivf_ann": q_ivf_ann,
+    "multimodal_features": q_multimodal_features,
+    "grouped_agg_udaf": q_grouped_agg_udaf,
+    "approx_aggs": q_approx_aggs,
 }
 
 ORACLES = {
@@ -664,4 +901,14 @@ ORACLES = {
     "date_funcs": o_date_funcs,
     "json_funcs": o_json_funcs,
     "array_funcs": o_array_funcs,
+    "dedup_exact": o_dedup_exact,
+    "doc_fingerprint": o_doc_fingerprint,
+    "text_quality": o_text_quality,
+    "token_count": o_token_count,
+    "ngram_jaccard": o_ngram_jaccard,
+    "cosine_topk": o_cosine_topk,
+    # lang_id / minhash_lsh / simhash / ivf_ann / multimodal_features /
+    # approx_aggs: intentionally no oracle (non-portable hashes, approx
+    # sketches, stubbed decode) → driver rows-only check
+    "grouped_agg_udaf": o_grouped_agg_udaf,
 }

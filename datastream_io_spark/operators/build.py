@@ -3,36 +3,55 @@
 Three phases, each a separate Spark job boundary so the build is
 resumable (C6, BASELINE.json:14):
 
-  A. docs pass (once, then FROZEN): dedupe doc keys, assign dense
-     deterministic doc ids (two-level scheme, no global sort), compute
-     doc_len + content_sha256, write ``docs/`` + ``stats.json``.
-  B. per-split segment jobs: re-scan only that split's corpus rows,
-     tokenize (vectorized pandas UDF — Python boundary #1), tf via
-     partial+final hash agg, range-salt hot terms (C4), encode sorted
-     posting runs into delta+varint blocks inside ``applyInPandas``
-     (Python boundary #2), atomic segment write + manifest.
-  C. merge (C5): union all segments → one shuffle on term → concatenate
-     runs IN PURE COLUMN OPS (runs are doc-id-disjoint by construction,
-     so merge = sort_array on first_doc_id + flatten — zero Python, no
-     re-encode) → write ``postings/`` partitioned by term_bucket +
-     broadcastable ``dict/``.
+  A. staging (once, then FROZEN): dedupe doc keys, assign dense
+     deterministic doc ids (two-level hash-split scheme — per-split
+     counts + prefix-sum offsets + in-split row_number; no global
+     sort), add content_sha256, write the corpus back PARTITIONED BY
+     split_id. Doc ids never change across resumes.
+  B. per-split tf jobs: read ONLY that split's staged partition
+     (directory-level partition pruning), tokenize ONCE (vectorized
+     pandas UDF — the build's only Python stage besides encode),
+     aggregate (doc, term) → tf with doc_len carried through the
+     explode (no extra join), stage raw tf rows + a lineage manifest
+     with per-split metrics. Independent jobs → resumable + runnable
+     concurrently.
+  C. finalize: exact global stats from the manifests (avgdl needs ALL
+     docs — this is why encode waits), range-salt hot terms (C4),
+     block-encode per (term, split, salt) run inside ``applyInPandas``
+     (delta+varint, block maxima), merge runs per (term, split) IN PURE
+     COLUMN OPS (runs are doc-id-disjoint by construction: splits own
+     contiguous id ranges, salted sub-ranges are contiguous too — so
+     merge = sort_array + flatten, zero re-encode), write ``postings/``
+     partitioned by term_bucket + broadcastable ``dict/`` + ``docs/``.
+
+Why staging instead of re-deriving splits from the source every job
+(the v1 design): each segment job used to re-shuffle the WHOLE corpus
+for dedupe + window, and tokenization ran twice (doc_len pass + tf
+pass). Staging costs one extra write of the corpus but makes every
+split job a pruned scan, halves the tokenize work, and collapses the
+job count — measured scaling efficiency went from 0.37 to this design.
+At petabyte scale you skip the copy by partitioning the source table
+itself on the split expression (Iceberg partition transform) — the
+split jobs then prune on the source directly; the engine only needs
+"read split i cheaply".
 
 Skew (C4): ``documents``-style corpora where every term is hot
-(FIXTURES.md §1) would put each term's whole split on one task. Terms
-whose in-split df exceeds ``salt_threshold`` are range-salted on doc_id
-(salts are CONTIGUOUS doc ranges, so salted runs stay disjoint and the
-merge remains a concat). AQE cannot do this — it splits skewed join
-partitions, not aggregation groups (SURVEY.md §4.2).
+(FIXTURES.md §1) would put a term's whole split into one encode task.
+Terms whose GLOBAL df exceeds ``salt_threshold`` are range-salted on
+doc_id (salts are CONTIGUOUS doc ranges inside a split, so runs stay
+disjoint). AQE cannot do this — it splits skewed join partitions, not
+aggregation groups (SURVEY.md §4.2).
 
-Index layout:
+Index layout (consumed by indexed_search / streaming finalize alike):
+  staged_corpus/split_id=N/   doc_id, repo, path, commit, lang,
+                              content_sha256, content   (build-time only)
+  tf_staged/split_NNNN/       doc_id, term, tf, dl
+  manifest/split_NNNN.json    lineage + metrics per split
   docs/        doc_id, repo, path, commit, lang, dl, content_sha256, split_id
-  stats.json   n_docs, avgdl, n_splits, split_offsets/counts, n_buckets, tokenizer
-  segments/split_NNNN/   term, term_bucket, split_id, salt, first_doc_id,
-                         last_doc_id, df_run, cf_run, blocks
-  manifest/split_NNNN.json   lineage + metrics per split
-  postings/term_bucket=K/    term, df, cf, first_doc_id, last_doc_id, blocks
+  stats.json   n_docs, avgdl, n_splits, n_buckets, tokenizer, k1, b
+  postings/term_bucket=K/     term, split_id, df, cf, first/last_doc_id, blocks
   dict/        term, term_bucket, df, cf, idf
-  stats (N, avgdl) give every later consumer the frozen BM25 context.
+  manifest/merge.json         global metrics (compressed_bytes, n_terms, …)
 """
 
 from __future__ import annotations
@@ -77,9 +96,17 @@ SEGMENT_SCHEMA = T.StructType(
     ]
 )
 
+RUN_SCHEMA = T.StructType(
+    list(SEGMENT_SCHEMA.fields) + [T.StructField("split_id", T.IntegerType())]
+)
+
 
 def _stats_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stats.json")
+
+
+def _staging_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "staging.json")
 
 
 def read_stats(index_dir: str) -> dict:
@@ -87,11 +114,18 @@ def read_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
 def _doc_key_split(n_splits: int):
     return F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_splits)).cast("int")
 
 
-def build_docs(
+def stage_corpus(
     spark: SparkSession,
     corpus: DataFrame,
     index_dir: str,
@@ -99,10 +133,12 @@ def build_docs(
     n_buckets: int,
     tokenizer: str,
 ) -> dict:
-    """Phase A. Returns the frozen stats dict. Skipped if already built —
-    doc ids are FROZEN across resumes (SURVEY.md §3.1)."""
-    if os.path.exists(_stats_path(index_dir)):
-        return read_stats(index_dir)
+    """Phase A. Returns the frozen staging info. Skipped when already
+    staged — doc ids are FROZEN across resumes (SURVEY.md §3.1)."""
+    if os.path.exists(_staging_path(index_dir)):
+        with open(_staging_path(index_dir)) as f:
+            return json.load(f)
+    os.makedirs(index_dir, exist_ok=True)
 
     deduped = corpus.dropDuplicates(["repo", "path", "commit"])
     with_split = deduped.withColumn("split_id", _doc_key_split(n_splits))
@@ -119,46 +155,104 @@ def build_docs(
         F.array(*[F.lit(offsets[s]) for s in range(n_splits)]), F.col("split_id") + 1
     ).cast("long")
     w = Window.partitionBy("split_id").orderBy("repo", "path", "commit")
-    # doc_id window first (slim rows, n_splits-way parallel), THEN
-    # repartition so the tokenize UDF runs at full parallelism instead of
-    # inside the window stage
-    with_ids = (
+    staged = (
         with_split
         .withColumn("doc_id", offset_col + F.row_number().over(w).cast("long") - 1)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    docs = (
-        P.with_tokens(with_ids, "content", mode=tokenizer, use_udf=True)
-        .withColumn("dl", F.size("tokens").cast("long"))
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        .select("doc_id", "repo", "path", "commit", "lang", "dl",
-                "content_sha256", "split_id")
+        .select("split_id", "doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", "content")
     )
-    docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+    (staged.write.mode("overwrite").partitionBy("split_id")
+     .parquet(os.path.join(index_dir, "staged_corpus")))
 
-    docs_done = spark.read.parquet(os.path.join(index_dir, "docs"))
-    row = docs_done.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    stats = {
-        "n_docs": int(row["n"]),
-        "avgdl": float(row["avgdl"]),
+    info = {
+        "n_docs": acc,
         "n_splits": n_splits,
         "n_buckets": n_buckets,
         "tokenizer": tokenizer,
         "split_counts": {str(k): v for k, v in counts.items()},
         "split_offsets": {str(k): v for k, v in offsets.items()},
-        "k1": K1,
-        "b": B,
     }
-    tmp = _stats_path(index_dir) + ".tmp"
-    os.makedirs(index_dir, exist_ok=True)
-    with open(tmp, "w") as f:
-        json.dump(stats, f, indent=1)
-    os.replace(tmp, _stats_path(index_dir))
-    return stats
+    _write_json_atomic(_staging_path(index_dir), info)
+    return info
+
+
+def build_split_tf(
+    spark: SparkSession,
+    index_dir: str,
+    split_id: int,
+    info: dict,
+    source_desc: str = "",
+) -> dict:
+    """Phase B for one split: pruned scan → tokenize once → tf + dl.
+    Atomic: temp write → rename → manifest."""
+    tokenizer = info["tokenizer"]
+    count = info["split_counts"].get(str(split_id), 0)
+    out_dir = os.path.join(index_dir, "tf_staged", f"split_{split_id:04d}")
+    tmp_dir = os.path.join(index_dir, "tf_staged", f"_tmp_split_{split_id:04d}")
+    tf_schema = "doc_id long, term string, tf long, dl long"
+
+    if count == 0:
+        spark.createDataFrame([], tf_schema).write.mode("overwrite").parquet(out_dir)
+        metrics = {"n_docs": 0, "n_postings": 0, "n_terms": 0, "cf": 0,
+                   "sum_dl": 0, "sha_crc_sum": 0, "input": source_desc}
+        M.write_split_manifest(index_dir, split_id, metrics)
+        return metrics
+
+    split_rows = spark.read.parquet(
+        os.path.join(index_dir, "staged_corpus")
+    ).where(F.col("split_id") == split_id)  # directory partition pruning
+
+    tok = P.with_tokens(
+        split_rows.select("doc_id", "content", "content_sha256"),
+        "content", mode=tokenizer, use_udf=True,
+    ).select("doc_id", "tokens", "content_sha256")
+    # carry dl through the explode → tf agg needs no doc_len join
+    exploded = tok.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("dl"),
+        F.explode("tokens").alias("term"),
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    ).select("doc_id", "term", "tf", "dl")
+
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    tf.write.mode("overwrite").parquet(tmp_dir)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp_dir, out_dir)
+
+    # metrics from the durably written data (BASELINE.json:6 lineage)
+    done = spark.read.parquet(out_dir)
+    mrow = done.agg(
+        F.count("*").alias("n_postings"),
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("tf").alias("cf"),
+    ).collect()[0]
+    drow = done.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").alias("n_docs_tok"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    sha_crc = split_rows.agg(
+        F.sum(F.crc32("content_sha256")).alias("s")).collect()[0]["s"]
+    metrics = {
+        "n_docs": int(count),
+        "n_docs_tokenized": int(drow["n_docs_tok"] or 0),
+        "n_postings": int(mrow["n_postings"] or 0),
+        "n_terms": int(mrow["n_terms"] or 0),
+        "cf": int(mrow["cf"] or 0),
+        "sum_dl": int(drow["sum_dl"] or 0),
+        "sha_crc_sum": int(sha_crc or 0),
+        "input": source_desc,
+    }
+    M.write_split_manifest(index_dir, split_id, metrics)
+    return metrics
 
 
 def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term, salt) group → one posting run."""
+    """applyInPandas kernel: one (term[, split], salt) group → one
+    sorted, block-compressed posting run."""
     pdf = pdf.sort_values("doc_id")
     ids = pdf["doc_id"].to_numpy()
     tfs = pdf["tf"].to_numpy()
@@ -177,137 +271,72 @@ def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_segment(
+def _encode_run_with_split(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = _encode_run(pdf)
+    out["split_id"] = int(pdf["split_id"].iloc[0])
+    return out
+
+
+def finalize_index(
     spark: SparkSession,
-    corpus: DataFrame,
     index_dir: str,
-    split_id: int,
-    stats: dict,
+    info: dict,
     salt_threshold: int = 1 << 20,
     n_salts: int = 8,
-    source_desc: str = "",
 ) -> dict:
-    """Phase B for one split. Atomic: temp write → rename → manifest."""
-    n_splits = stats["n_splits"]
-    tokenizer = stats["tokenizer"]
-    offset = stats["split_offsets"][str(split_id)]
-    count = stats["split_counts"].get(str(split_id), 0)
-    seg_dir = os.path.join(index_dir, "segments", f"split_{split_id:04d}")
-    tmp_dir = os.path.join(index_dir, "segments", f"_tmp_split_{split_id:04d}")
+    """Phase C — exact stats, salted block encode, run merge, final
+    layout. Idempotent (pure function of the staged data)."""
+    n_splits = info["n_splits"]
+    n_buckets = info["n_buckets"]
+    manifests = [M.read_split_manifest(index_dir, s) for s in range(n_splits)]
+    n_docs = sum(m["n_docs"] for m in manifests)
+    sum_dl = sum(m["sum_dl"] for m in manifests)
+    n_docs_tok = sum(m.get("n_docs_tokenized", m["n_docs"]) for m in manifests)
+    # docs with zero tokens contribute dl=0 to avgdl
+    avgdl = sum_dl / n_docs if n_docs else 0.0
 
-    if count == 0:
-        empty = spark.createDataFrame([], SEGMENT_SCHEMA).select(
-            "term",
-            F.lit(0).cast("int").alias("term_bucket"),
-            F.lit(split_id).cast("int").alias("split_id"),
-            "salt", "first_doc_id", "last_doc_id", "df_run", "cf_run", "blocks",
-        )
-        empty.write.mode("overwrite").parquet(seg_dir)
-        metrics = {"n_docs": 0, "n_postings": 0, "n_terms": 0,
-                   "compressed_bytes": 0, "cf": 0, "sha_crc_sum": 0,
-                   "input": source_desc}
-        M.write_split_manifest(index_dir, split_id, metrics)
-        return metrics
+    staged = spark.read.parquet(os.path.join(index_dir, "tf_staged", "split_*"))
 
-    # deterministic re-derivation of this split's rows + doc ids (no join
-    # against docs/ needed: same dedupe, same hash-split, same in-split order)
-    split_rows = (
-        corpus.dropDuplicates(["repo", "path", "commit"])
-        .withColumn("split_id", _doc_key_split(n_splits))
-        .where(F.col("split_id") == split_id)
-    )
-    w = Window.partitionBy("split_id").orderBy("repo", "path", "commit")
-    with_ids = (
-        split_rows
-        .withColumn("doc_id", F.lit(offset).cast("long")
-                    + F.row_number().over(w).cast("long") - 1)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    tok = (
-        P.with_tokens(with_ids, "content", mode=tokenizer, use_udf=True)
-        .select("doc_id", "tokens", F.sha2("content", 256).alias("content_sha256"))
-    )
-    dl = tok.select("doc_id", F.size("tokens").cast("long").alias("dl"),
-                    "content_sha256")
-    tf = P.term_freq(P.doc_terms(tok))
-    tf = tf.join(dl.select("doc_id", "dl"), "doc_id")
-    avgdl = float(stats["avgdl"])
-    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
-        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-    )
-    tf = tf.withColumn("tfn", tfn.cast("float"))
-
-    # C4 — range-salt hot terms: salt = which n_salts-quantile of the
-    # split's contiguous doc range the doc falls in → runs stay disjoint
-    df_seg = tf.groupBy("term").agg(F.count("*").alias("df_seg"))
-    hot = df_seg.where(F.col("df_seg") > salt_threshold).select("term")
-    salt_expr = F.floor(
-        (F.col("doc_id") - F.lit(offset)) * F.lit(n_salts) / F.lit(max(count, 1))
+    # C4: global hot-term detection (exact df), broadcast the hot set
+    df_global = staged.groupBy("term").agg(F.count("*").alias("df"))
+    hot = df_global.where(F.col("df") > salt_threshold).select("term")
+    offsets = {int(k): v for k, v in info["split_offsets"].items()}
+    counts = {int(k): max(v, 1) for k, v in info["split_counts"].items()}
+    split_ids = sorted(offsets)
+    off_arr = F.array(*[F.lit(offsets[s]) for s in split_ids])
+    cnt_arr = F.array(*[F.lit(counts.get(s, 1)) for s in split_ids])
+    # doc_id → split via offset bisect-free lookup: splits own contiguous
+    # ranges [offset, offset+count); derive split from the staged layout
+    # instead of re-hashing keys (content keys aren't in tf rows)
+    split_col = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_splits - 1)),
+        F.lit(0),
+        lambda acc, s: F.when(
+            F.col("doc_id") >= F.element_at(off_arr, s + 1), s
+        ).otherwise(acc),
     ).cast("int")
-    tf = tf.join(F.broadcast(hot.withColumn("is_hot", F.lit(True))), "term", "left")
-    tf = tf.withColumn(
+    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl or 1.0)))
+    )
+    enriched = (
+        staged.withColumn("split_id", split_col)
+        .withColumn("tfn", tfn.cast("float"))
+        .join(F.broadcast(hot.withColumn("is_hot", F.lit(True))), "term", "left")
+    )
+    offset_col = F.element_at(off_arr, F.col("split_id") + 1)
+    span_col = F.element_at(cnt_arr, F.col("split_id") + 1)
+    salt_expr = F.floor(
+        (F.col("doc_id") - offset_col) * F.lit(n_salts) / span_col).cast("int")
+    enriched = enriched.withColumn(
         "salt", F.when(F.col("is_hot").isNotNull(), salt_expr).otherwise(F.lit(0))
     ).drop("is_hot")
 
-    runs = tf.groupBy("term", "salt").applyInPandas(_encode_run, SEGMENT_SCHEMA)
-    seg = runs.select(
-        "term",
-        F.pmod(F.xxhash64("term"), F.lit(stats["n_buckets"])).cast("int").alias("term_bucket"),
-        F.lit(split_id).alias("split_id"),
-        "salt", "first_doc_id", "last_doc_id", "df_run", "cf_run", "blocks",
-    )
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    seg.write.mode("overwrite").parquet(tmp_dir)
-    if os.path.exists(seg_dir):
-        shutil.rmtree(seg_dir)
-    os.replace(tmp_dir, seg_dir)
-
-    # metrics from the durably written segment (BASELINE.json:6 lineage:
-    # postings count, compressed bytes, term cardinality)
-    seg_done = spark.read.parquet(seg_dir)
-    mrow = seg_done.agg(
-        F.sum("df_run").alias("n_postings"),
-        F.countDistinct("term").alias("n_terms"),
-        F.sum("cf_run").alias("cf"),
-        F.sum(
-            F.aggregate(
-                "blocks", F.lit(0).cast("long"),
-                lambda acc, b: acc + F.length(b["docs"]) + F.length(b["tfs"]),
-            )
-        ).alias("compressed_bytes"),
-    ).collect()[0]
-    # lineage fingerprint straight off the corpus rows (no tokenize recompute)
-    sha_crc = split_rows.agg(
-        F.sum(F.crc32(F.sha2("content", 256))).alias("s")
-    ).collect()[0]["s"]
-    metrics = {
-        "n_docs": int(count),
-        "n_postings": int(mrow["n_postings"] or 0),
-        "n_terms": int(mrow["n_terms"] or 0),
-        "compressed_bytes": int(mrow["compressed_bytes"] or 0),
-        "cf": int(mrow["cf"] or 0),
-        "sha_crc_sum": int(sha_crc or 0),
-        "input": source_desc,
-    }
-    M.write_split_manifest(index_dir, split_id, metrics)
-    return metrics
-
-
-def merge_segments(spark: SparkSession, index_dir: str, stats: dict) -> None:
-    """Phase C — global index. Runs are doc-id-disjoint (splits own
-    contiguous id ranges; salted runs are contiguous sub-ranges), so the
-    per-term merge is concat-in-order: pure Column ops, no Python, no
-    block re-encode. One shuffle, hash-partitioned on term."""
-    seg_glob = os.path.join(index_dir, "segments", "split_*")
-    segs = spark.read.parquet(seg_glob)
-    # one row per (term, split): salted runs inside a split are merged
-    # (concat of disjoint contiguous ranges); rows stay document-range-
-    # partitioned so the query-side WAND distributes by split — the
-    # standard document-partitioned search architecture. At 10^12 docs a
-    # fully-compacted single row per hot term would not fit anywhere.
+    runs = enriched.groupBy("term", "split_id", "salt").applyInPandas(
+        _encode_run_with_split, RUN_SCHEMA)
     merged = (
-        segs.repartition(spark.sparkContext.defaultParallelism, "term")
+        runs
+        .withColumn("term_bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
         .groupBy("term", "term_bucket", "split_id")
         .agg(
             F.sum("df_run").alias("df"),
@@ -329,17 +358,74 @@ def merge_segments(spark: SparkSession, index_dir: str, stats: dict) -> None:
         .partitionBy("term_bucket")
         .parquet(os.path.join(index_dir, "postings"))
     )
-    n_docs = stats["n_docs"]
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     dictionary = postings.groupBy("term", "term_bucket").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).select(
         "term", "term_bucket", "df", "cf",
-        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)).alias("idf"),
     )
     dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dict"))
+
+    # docs/: staged metadata + dl (docs with no tokens → dl 0)
+    dl_per_doc = staged.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    docs = (
+        spark.read.parquet(os.path.join(index_dir, "staged_corpus"))
+        .select("doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", "split_id")
+        .join(dl_per_doc, "doc_id", "left")
+        .withColumn("dl", F.coalesce("dl", F.lit(0)).cast("long"))
+        .select("doc_id", "repo", "path", "commit", "lang", "dl",
+                "content_sha256", "split_id")
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+
+    merge_metrics_row = postings.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.aggregate(
+                "blocks", F.lit(0).cast("long"),
+                lambda acc, b: acc + F.length(b["docs"]) + F.length(b["tfs"]),
+            )
+        ).alias("compressed_bytes"),
+        F.sum("df").alias("n_postings"),
+    ).collect()[0]
+    n_terms = dictionary.count()
+    stats = {
+        "n_docs": n_docs,
+        "n_docs_tokenized": n_docs_tok,
+        "avgdl": avgdl,
+        "n_splits": n_splits,
+        "n_buckets": n_buckets,
+        "tokenizer": info["tokenizer"],
+        "split_counts": info["split_counts"],
+        "split_offsets": info["split_offsets"],
+        "k1": K1,
+        "b": B,
+    }
+    _write_json_atomic(_stats_path(index_dir), stats)
+    merge_metrics = {
+        "n_terms": int(n_terms),
+        "n_posting_rows": int(merge_metrics_row["n_rows"] or 0),
+        "n_postings": int(merge_metrics_row["n_postings"] or 0),
+        "compressed_bytes": int(merge_metrics_row["compressed_bytes"] or 0),
+        "salt_threshold": salt_threshold,
+        "n_salts": n_salts,
+    }
+    _write_json_atomic(os.path.join(index_dir, "manifest", "merge.json"),
+                       merge_metrics)
     with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
-        json.dump({"n_terms": dictionary.count()}, f)
+        json.dump(merge_metrics, f)
+    return stats
+
+
+def drop_staged_corpus(index_dir: str) -> None:
+    """Reclaim the staging copy once a build is final (content itself is
+    not part of the served index)."""
+    p = os.path.join(index_dir, "staged_corpus")
+    if os.path.exists(p):
+        shutil.rmtree(p)
 
 
 def build_index(
@@ -356,34 +442,28 @@ def build_index(
     max_concurrent_splits: int = 4,
 ) -> dict:
     """End-to-end resumable build. ``fail_after_splits`` is a test hook
-    (C6 kill-resume test): raise after that many segment jobs complete.
+    (C6 kill-resume test): raise after that many split jobs complete.
 
-    Returns the stats dict. Re-invoking after a crash resumes: phase A
-    is skipped if frozen, done splits are skipped via the manifest,
-    merge re-runs idempotently (overwrite of a deterministic result).
-
-    Segment jobs are independent (disjoint inputs, disjoint outputs,
-    per-split manifests), so up to ``max_concurrent_splits`` run as
-    concurrent Spark jobs from driver threads — the Spark scheduler
-    interleaves their stages, which hides per-job fixed overhead without
-    weakening atomicity or resume semantics.
+    Re-invoking after a crash resumes: staging is skipped if frozen,
+    done splits are skipped via the manifest, finalize re-runs
+    idempotently. Split jobs are independent (disjoint pruned inputs,
+    disjoint outputs, per-split manifests), so up to
+    ``max_concurrent_splits`` run as concurrent Spark jobs from driver
+    threads — the scheduler interleaves their stages, hiding per-job
+    fixed overhead without weakening atomicity or resume semantics.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(index_dir, exist_ok=True)
-    stats = build_docs(spark, corpus, index_dir, n_splits, n_buckets, tokenizer)
-    pending = M.pending_splits(index_dir, stats["n_splits"])
+    info = stage_corpus(spark, corpus, index_dir, n_splits, n_buckets, tokenizer)
+    pending = M.pending_splits(index_dir, info["n_splits"])
     if fail_after_splits is not None:
         to_run, to_fail = pending[:fail_after_splits], pending[fail_after_splits:]
     else:
         to_run, to_fail = pending, []
 
     def run(split_id: int) -> None:
-        build_segment(
-            spark, corpus, index_dir, split_id, stats,
-            salt_threshold=salt_threshold, n_salts=n_salts,
-            source_desc=source_desc,
-        )
+        build_split_tf(spark, index_dir, split_id, info, source_desc=source_desc)
 
     if max_concurrent_splits <= 1 or len(to_run) <= 1:
         for split_id in to_run:
@@ -394,5 +474,5 @@ def build_index(
                 pass
     if to_fail:
         raise RuntimeError(f"injected failure before splits {to_fail}")
-    merge_segments(spark, index_dir, stats)
-    return stats
+    return finalize_index(spark, index_dir, info,
+                          salt_threshold=salt_threshold, n_salts=n_salts)

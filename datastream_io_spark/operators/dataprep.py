@@ -1,0 +1,418 @@
+"""Training-data-pipeline operators: deduplication, similarity search,
+text analysis (task brief: first-class alongside SURVEY.md §2).
+
+Everything is DataFrame-first; Python appears only where semantics
+require it (MinHash permutations, SimHash bit-packing) and then always
+as Arrow-batched pandas UDFs. Hashes that must match a DuckDB oracle
+use md5-prefix integers (portable); engine-internal hashes use
+``xxhash64`` (JVM, fastest).
+
+Scale notes per operator are in each docstring — the common theme: all
+candidate generation is bucket-local (LSH bands / simhash prefixes), so
+the quadratic step only ever runs inside a bucket, never across the
+corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datastream_io_spark.functions.tokenize import tokenize_simple_udf
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy; one
+    shuffle on the 64-hex sha, trivially scalable)."""
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_sha256"),
+                    F.col(id_col))
+        .groupBy("content_sha256")
+        .agg(F.count("*").alias("n_dups"),
+             F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact_keep_first(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Survivor set: lowest id per identical content."""
+    w_keep = dedup_exact_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col))
+    return docs.join(w_keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup within a blocking key)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.15,
+                        block_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over word n-gram shingle SETS for candidate pairs
+    that share a blocking key AND at least one shingle (inverted-pair
+    join — the same posting idea as the index). Output:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+
+    Scale: the shingle self-join is bucketed by (block, shingle); at
+    corpus scale you put a df-ceiling on shingles (drop ultra-common
+    ones) — exposed as ``max_shingle_df``-style pre-filter if needed.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        tokenize_simple_udf(F.col(text_col)).alias("tokens"))
+    # guard: F.sequence(0, m) with m<0 yields a DESCENDING sequence, so
+    # short docs need the explicit empty-array branch
+    shingles = F.when(
+        F.size("tokens") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tokens") - n),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("id", "blk", F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("doc_a"), "blk", "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "blk", "shingle")
+    inter = (
+        a.join(b, ["blk", "shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_hashes: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _stable_token_hash(tok: str) -> int:
+    """64-bit deterministic token hash. Python's builtin hash() is
+    salted per process (PYTHONHASHSEED) — using it in a UDF would make
+    signatures differ across executors/runs."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 32,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       seed: int = 7) -> DataFrame:
+    """MinHash over word-shingle sets: one Arrow-batched pandas UDF;
+    per-doc work is O(|tokens| · n_hashes) numpy. Signature is an
+    array<long> column → banding happens in plain Column ops."""
+    a_params, b_params = _minhash_params(n_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = set(t.lower().split())
+            if not toks:
+                out.append([int(_MERSENNE)] * len(a_params))
+                continue
+            hv = np.fromiter(
+                ((_stable_token_hash(tok) & 0x7FFFFFFFFFFFFFFF) for tok in toks),
+                np.int64, count=len(toks))
+            # (a*x + b) mod p for every (hash, perm) pair, vectorized
+            m = (
+                (hv[:, None].astype(np.object_) * a_params[None, :]
+                 + b_params[None, :]) % _MERSENNE
+            ).min(axis=0)
+            out.append([int(v) for v in m])
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("id"),
+                       sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_candidates(docs: DataFrame, n_hashes: int = 32,
+                           n_bands: int = 8, text_col: str = "text",
+                           id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """LSH banding: split each signature into bands, bucket-join on
+    (band_id, band_hash). Output candidate pairs (doc_a < doc_b) with
+    the number of agreeing bands. Candidate generation never compares
+    across buckets → linear shuffle, quadratic only inside buckets."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(docs, n_hashes, text_col, id_col, seed)
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", bidx * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    l = bands.select(F.col("id").alias("doc_a"), "band", "bhash")
+    r = bands.select(F.col("id").alias("doc_b"), "band", "bhash")
+    return (
+        l.join(r, ["band", "bhash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands_agree"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc (tf-weighted bit votes over token hashes),
+    one pandas UDF; near-dups then cluster by hamming distance — the
+    scale path buckets on bit-prefixes (see simhash_prefix_candidates).
+    """
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            if not toks:
+                out[i] = 0
+                continue
+            uniq, counts = np.unique(np.array(toks), return_counts=True)
+            hv = np.fromiter(
+                ((_stable_token_hash(tok) & 0xFFFFFFFFFFFFFFFF) for tok in uniq),
+                np.uint64, count=len(uniq))
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            val = np.uint64(0)
+            for j in np.flatnonzero(votes > 0):
+                val |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("id"),
+                       sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_prefix_candidates(docs: DataFrame, prefix_bits: int = 16,
+                              max_hamming: int = 8,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Bucket docs by the top ``prefix_bits`` of their simhash, compare
+    within buckets only, keep pairs within ``max_hamming``. (Production
+    variant rotates the hash to cover all prefixes; one rotation here.)
+    """
+    sims = simhash64(docs, text_col, id_col).withColumn(
+        "prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = sims.select(F.col("id").alias("doc_a"),
+                    F.col("simhash").alias("sim_a"), "prefix")
+    b = sims.select(F.col("id").alias("doc_b"),
+                    F.col("simhash").alias("sim_b"), "prefix")
+    return (
+        a.join(b, "prefix")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(
+            F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, query_vec: list[float],
+                           k: int = 10, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine: one scan, pure Column fold (zip_with +
+    aggregate), TakeOrderedAndProject top-k. The baseline every ANN
+    variant is validated against."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        embeddings.select(F.col(id_col), sim.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (Column-only argmin over the centroid array). At scale the
+    assignment is written ``partitionBy(cluster)`` so a query probes
+    only nprobe partitions — same partition-pruning trick as the
+    term_bucket index layout."""
+    cents = F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in centroids
+    ])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v),
+    )
+    best = F.array_position(dists, F.array_min(dists)) - 1
+    return embeddings.select(F.col(id_col), F.col(vec_col),
+                             best.cast("int").alias("cluster"))
+
+
+def ivf_topk(embeddings: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: score only vectors in the ``nprobe`` closest
+    clusters. Approximate (recall measured in tests vs brute force)."""
+    qv = np.asarray(query_vec, np.float64)
+    cents = np.asarray(centroids, np.float64)
+    d2 = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    cand = assigned.where(F.col("cluster").isin(probe))
+    return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
+def train_centroids(embeddings: DataFrame, n_clusters: int = 8,
+                    n_iters: int = 5, vec_col: str = "embedding",
+                    seed: int = 5) -> list[list[float]]:
+    """Tiny k-means on a driver-side sample (the coarse codebook is
+    always small; at scale you sample ~100k rows, which still fits)."""
+    sample = np.array(
+        embeddings.select(vec_col).limit(2048).toPandas()[vec_col].tolist(),
+        dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(n_iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for c in range(n_clusters):
+            m = lab == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def text_quality(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Quality features, all JVM Column ops (no UDF): token count, avg
+    token length, punctuation ratio, stopword ratio, uppercase ratio."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9_ ]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text_col, "[A-Z]", ""))
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round((n_chars - n_tok + 1) / n_tok, 6).alias("avg_token_len"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_upper / n_chars, 6).alias("upper_ratio"),
+    )
+
+
+def token_count_bpe_ish(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (word pieces: letter runs, digit runs, single non-space symbols) —
+    the standard pre-tokenizer shape used before byte-pair merges."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    bpe = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("n_words"),
+        bpe.cast("long").alias("n_bpe_pieces"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint: md5 of the lowercased
+    whitespace-normalized token stream (portable: same value in any
+    engine; catches whitespace/case-only near-dups exactly)."""
+    norm = F.concat_ws(
+        " ", F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"),
+                      lambda t: t != ""))
+    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def lang_id_heuristic(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Character-class n-gram heuristic language ID (rows-only demo —
+    the fixture text is a synthetic English-ish bag of words, so this
+    classifies script family, not real language): CJK chars → 'zh',
+    high accent ratio → 'latin-ext', else 'en-like'."""
+    n_chars = F.length(text_col)
+    n_cjk = n_chars - F.length(F.regexp_replace(text_col, "[\\u4e00-\\u9fff]", ""))
+    n_accent = n_chars - F.length(
+        F.regexp_replace(text_col, "[\\u00c0-\\u024f]", ""))
+    return docs.select(
+        F.col(id_col),
+        F.when(n_cjk / n_chars > 0.2, F.lit("zh"))
+        .when(n_accent / n_chars > 0.05, F.lit("latin-ext"))
+        .otherwise(F.lit("en-like")).alias("lang_guess"),
+    )

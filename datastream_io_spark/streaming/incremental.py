@@ -1,0 +1,190 @@
+"""ST8 — incremental index ingest + finalize (SURVEY.md §2.10, §3.3).
+
+dsio's restream→sink shape [pub:dsio], rebuilt for the index engine:
+``writeStream.foreachBatch(ingest_batch)`` stages each micro-batch of
+corpus rows exactly once (manifest-guarded against foreachBatch
+re-delivery), then ``finalize_stream_index`` turns the staged data into
+the SAME on-disk index layout the batch builder produces — so
+``search_indexed`` works on it unchanged, and stream-batch equivalence
+is testable at the search surface.
+
+Staging keeps raw (term, doc_id, tf, dl) rows instead of encoded
+blocks: BM25's tf-normalization needs the FINAL corpus avgdl, which an
+incremental ingest cannot know mid-stream. Encoding once at finalize
+(batch_id plays the role of split_id; arrival-ordered doc ids keep
+batch doc ranges contiguous and disjoint, so the run merge is the same
+pure-Column concat) avoids a decode→re-encode pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datastream_io_spark import B, K1
+from datastream_io_spark.operators import postings as P
+from datastream_io_spark.operators.build import SEGMENT_SCHEMA, _encode_run
+from datastream_io_spark.sources import manifest as M
+
+
+def _counter_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "doc_id_counter.json")
+
+
+def _read_counter(index_dir: str) -> int:
+    p = _counter_path(index_dir)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return json.load(f)["next_doc_id"]
+
+
+def _write_counter(index_dir: str, value: int) -> None:
+    tmp = _counter_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"next_doc_id": value}, f)
+    os.replace(tmp, _counter_path(index_dir))
+
+
+def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
+                 index_dir: str, tokenizer: str = "code") -> None:
+    """foreachBatch handler. Exactly-once: a re-delivered batch_id whose
+    manifest says done is a no-op. Doc ids are arrival-ordered (frozen
+    at first delivery via the durable counter)."""
+    if M.read_split_manifest(index_dir, batch_id) is not None:
+        return
+    os.makedirs(index_dir, exist_ok=True)
+    offset = _read_counter(index_dir)
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("repo", "path", "commit")  # deterministic within batch
+    with_ids = batch_df.withColumn(
+        "doc_id", F.lit(offset) + F.row_number().over(w).cast("long") - 1
+    )
+    tok = P.with_tokens(with_ids, "content", mode=tokenizer, use_udf=True)
+    docs = tok.select(
+        "doc_id", "repo", "path", "commit", "lang",
+        F.size("tokens").cast("long").alias("dl"),
+        F.sha2("content", 256).alias("content_sha256"),
+        F.lit(batch_id).cast("int").alias("split_id"),
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "docs_staged", f"batch_{batch_id:04d}"))
+
+    tf = P.term_freq(P.doc_terms(tok))
+    staged = tf.join(docs.select("doc_id", "dl"), "doc_id")
+    staged.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "tf_staged", f"batch_{batch_id:04d}"))
+
+    n_docs = docs.count()
+    _write_counter(index_dir, offset + n_docs)
+    M.write_split_manifest(index_dir, batch_id, {
+        "n_docs": int(n_docs),
+        "doc_id_offset": offset,
+        "kind": "stream_batch",
+        "n_postings": int(tf.count()),
+    })
+
+
+def finalize_stream_index(spark: SparkSession, index_dir: str,
+                          n_buckets: int = 16, tokenizer: str = "code",
+                          salt_threshold: int = 1 << 20,
+                          n_salts: int = 8) -> dict:
+    """Compact staged batches into the standard searchable index layout
+    (docs/, stats.json, postings/term_bucket=K/, dict/)."""
+    docs = spark.read.parquet(os.path.join(index_dir, "docs_staged", "batch_*"))
+    docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+
+    staged = spark.read.parquet(os.path.join(index_dir, "tf_staged", "batch_*"))
+    staged = staged.join(
+        docs.select("doc_id", "split_id"), "doc_id"
+    )
+    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+    )
+    staged = staged.withColumn("tfn", tfn.cast("float"))
+
+    # salt hot terms within each batch range (doc ids are contiguous per
+    # batch, so pmod-free range salting again keeps runs disjoint)
+    df_seg = staged.groupBy("term", "split_id").agg(F.count("*").alias("df_seg"))
+    hot = df_seg.where(F.col("df_seg") > salt_threshold).select(
+        "term", "split_id").withColumn("is_hot", F.lit(True))
+    bounds = {
+        int(r["split_id"]): (int(r["lo"]), int(r["hi"]))
+        for r in docs.groupBy("split_id").agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()
+    }
+    lo_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in bounds]),
+            F.array(*[F.lit(v[0]) for v in bounds.values()])),
+        F.col("split_id"))
+    span_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in bounds]),
+            F.array(*[F.lit(v[1] - v[0] + 1) for v in bounds.values()])),
+        F.col("split_id"))
+    staged = staged.join(F.broadcast(hot), ["term", "split_id"], "left")
+    salt_expr = F.floor((F.col("doc_id") - lo_col) * F.lit(n_salts) / span_col).cast("int")
+    staged = staged.withColumn(
+        "salt", F.when(F.col("is_hot").isNotNull(), salt_expr).otherwise(F.lit(0))
+    ).drop("is_hot")
+
+    from pyspark.sql import types as T
+
+    run_schema = T.StructType(
+        list(SEGMENT_SCHEMA.fields) + [T.StructField("split_id", T.IntegerType())]
+    )
+
+    def _encode_with_split(pdf):
+        out = _encode_run(pdf)
+        out["split_id"] = int(pdf["split_id"].iloc[0])
+        return out
+
+    runs = staged.groupBy("term", "split_id", "salt").applyInPandas(
+        _encode_with_split, run_schema
+    )
+    merged = (
+        runs.withColumn("term_bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .groupBy("term", "term_bucket", "split_id")
+        .agg(
+            F.sum("df_run").alias("df"),
+            F.sum("cf_run").alias("cf"),
+            F.min("first_doc_id").alias("first_doc_id"),
+            F.max("last_doc_id").alias("last_doc_id"),
+            F.flatten(F.transform(
+                F.sort_array(F.collect_list(F.struct("first_doc_id", "blocks"))),
+                lambda x: x["blocks"])).alias("blocks"),
+        )
+    )
+    (merged.repartition("term_bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(os.path.join(index_dir, "postings")))
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    dictionary = postings.groupBy("term", "term_bucket").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ).select(
+        "term", "term_bucket", "df", "cf",
+        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)).alias("idf"),
+    )
+    dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dict"))
+
+    stats = {
+        "n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
+        "tokenizer": tokenizer, "k1": K1, "b": B,
+        "n_splits": len(bounds), "kind": "streaming",
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
+        json.dump({"n_terms": dictionary.count()}, f)
+    return stats

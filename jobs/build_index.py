@@ -1,0 +1,60 @@
+"""spark-submit entry point for the batch index build (BASELINE.json:14:
+"launched via spark-submit --py-files on a multi-executor cluster").
+
+    zip -r engine.zip datastream_io_spark/
+    spark-submit --py-files engine.zip jobs/build_index.py \
+        --src /data/corpus_parquet --out /data/index \
+        --splits 64 --buckets 1024 --tokenizer code \
+        --salt-threshold 1000000 --salts 16
+
+Resumable: re-submitting the same command after a failure skips staged
+phases and completed splits (per-split manifests under <out>/manifest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--src", required=True, help="corpus table path/identifier")
+    p.add_argument("--fmt", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--out", required=True, help="index output directory")
+    p.add_argument("--splits", type=int, default=16)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--tokenizer", default="code", choices=["simple", "code"])
+    p.add_argument("--salt-threshold", type=int, default=1 << 20)
+    p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--concurrency", type=int, default=4,
+                   help="concurrent split jobs")
+    p.add_argument("--drop-staged", action="store_true",
+                   help="delete the staged corpus copy after finalize")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from datastream_io_spark.operators.build import build_index, drop_staged_corpus
+    from datastream_io_spark.sources.scan import scan_corpus
+
+    # under spark-submit the session config comes from the submit command;
+    # getOrCreate attaches to it rather than re-configuring
+    spark = SparkSession.builder.appName("build_index").getOrCreate()
+    corpus = scan_corpus(spark, args.src, args.fmt)
+    stats = build_index(
+        spark, corpus, args.out,
+        n_splits=args.splits, n_buckets=args.buckets,
+        tokenizer=args.tokenizer, salt_threshold=args.salt_threshold,
+        n_salts=args.salts, source_desc=f"{args.fmt}:{args.src}",
+        max_concurrent_splits=args.concurrency,
+    )
+    if args.drop_staged:
+        drop_staged_corpus(args.out)
+    print(f"index built: n_docs={stats['n_docs']} avgdl={stats['avgdl']:.3f} "
+          f"splits={stats['n_splits']} buckets={stats['n_buckets']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,40 @@
+"""spark-submit entry point for top-k BM25 queries against a built index.
+
+    spark-submit --py-files engine.zip jobs/search.py \
+        --index /data/index --query "parse config" --k 10 --mode and
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--mode", default="and", choices=["and", "or"])
+    p.add_argument("--relational", action="store_true",
+                   help="also run the index-free relational path (self-oracle)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from datastream_io_spark.operators.indexed_search import search_indexed
+
+    spark = SparkSession.builder.appName("search").getOrCreate()
+    t0 = time.time()
+    rows = search_indexed(spark, args.index, args.query, args.k, args.mode,
+                          with_doc_cols=True).collect()
+    dt = time.time() - t0
+    for r in rows:
+        print(f"{r.score:12.6f}  doc={r.doc_id:<10d} {r.repo}/{r.path}")
+    print(f"-- {len(rows)} rows in {dt * 1000:.0f} ms (mode={args.mode})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from datastream_io_spark.corpus import corpus_df
 from datastream_io_spark.golden import brute_force_topk
-from datastream_io_spark.operators.build import build_docs
+from datastream_io_spark.operators.build import stage_corpus
 from datastream_io_spark.session import get_spark
 from datastream_io_spark.sources.scan import documents_as_corpus
 from tests.queries_golden import CODE_QUERIES, DOC_QUERIES, K
@@ -27,10 +27,9 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 
 def freeze(spark, corpus, n_splits, n_buckets, tokenizer, table, queries):
     with tempfile.TemporaryDirectory() as tmp:
-        build_docs(spark, corpus, tmp, n_splits, n_buckets, tokenizer)
-        docs = spark.read.parquet(f"{tmp}/docs")
+        stage_corpus(spark, corpus, tmp, n_splits, n_buckets, tokenizer)
         pdf = (
-            docs.join(corpus, ["repo", "path", "commit"])
+            spark.read.parquet(f"{tmp}/staged_corpus")
             .select("doc_id", F.col("content").alias("text"))
             .toPandas()
         )

@@ -28,11 +28,14 @@ from datastream_io_spark.session import get_spark
 
 cores = int(sys.argv[1]); n = int(sys.argv[2]); out = sys.argv[3]
 spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions=2*cores)
-corpus = corpus_df(spark, n)
+src = tempfile.mkdtemp(prefix=f"scal_src_{{cores}}_")
+corpus_df(spark, n).write.mode("overwrite").parquet(src)
+corpus = spark.read.parquet(src)
 idx = tempfile.mkdtemp(prefix=f"scal_{{cores}}_")
 t0 = time.time()
-build_index(spark, corpus, idx, n_splits=8, n_buckets=32,
-            tokenizer="code", salt_threshold=100_000, n_salts=8)
+build_index(spark, corpus, idx, n_splits=16, n_buckets=32,
+            tokenizer="code", salt_threshold=100_000, n_salts=8,
+            max_concurrent_splits=8)
 build_sec = time.time() - t0
 results = {{}}
 qlat = {{}}

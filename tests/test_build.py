@@ -61,11 +61,11 @@ def test_manifest_metrics_match_recount(spark, doc_index):
     stats = read_stats(doc_index)
     assert done_splits(doc_index) == set(range(stats["n_splits"]))
     seg_totals = (
-        spark.read.parquet(f"{doc_index}/segments/split_*")
+        spark.read.parquet(f"{doc_index}/postings")
         .groupBy("split_id")
-        .agg(F.sum("df_run").alias("n_postings"),
+        .agg(F.sum("df").alias("n_postings"),
              F.countDistinct("term").alias("n_terms"),
-             F.sum("cf_run").alias("cf"))
+             F.sum("cf").alias("cf"))
         .collect()
     )
     for r in seg_totals:
@@ -74,10 +74,19 @@ def test_manifest_metrics_match_recount(spark, doc_index):
         assert m["n_postings"] == r.n_postings
         assert m["n_terms"] == r.n_terms
         assert m["cf"] == r.cf
-        assert m["compressed_bytes"] > 0
     n_docs = sum(read_split_manifest(doc_index, int(r.split_id))["n_docs"]
                  for r in seg_totals)
     assert n_docs == stats["n_docs"]
+    # global merge metrics: compressed bytes recount
+    import json
+    with open(f"{doc_index}/manifest/merge.json") as f:
+        merge = json.load(f)
+    recount = spark.read.parquet(f"{doc_index}/postings").agg(
+        F.sum(F.aggregate("blocks", F.lit(0).cast("long"),
+                          lambda acc, b: acc + F.length(b["docs"])
+                          + F.length(b["tfs"])))
+    ).collect()[0][0]
+    assert merge["compressed_bytes"] == recount > 0
 
 
 def test_sha256_invariant(spark, doc_index):
@@ -113,8 +122,23 @@ def test_salting_was_exercised_and_equals_unsalted(spark, tmp_path):
                 tokenizer="simple", salt_threshold=10, n_salts=4)
     build_index(spark, corpus, plain_dir, n_splits=2, n_buckets=4,
                 tokenizer="simple", salt_threshold=1 << 40, n_salts=4)
-    segs = spark.read.parquet(f"{salted_dir}/segments/split_*")
-    assert segs.where(F.col("salt") > 0).count() > 0, "salting never triggered"
+    import json
+    with open(f"{salted_dir}/manifest/merge.json") as f:
+        assert json.load(f)["salt_threshold"] == 10
+    # proof salting ran: a salted hot term is encoded as several runs
+    # whose partial tail blocks survive the concat-merge, so its merged
+    # row has MORE blocks than an unsalted encode would produce
+    salted_blocks = {
+        (r.term, r.split_id): (len(r.blocks), r.df)
+        for r in spark.read.parquet(f"{salted_dir}/postings").collect()
+    }
+    plain_blocks = {
+        (r.term, r.split_id): len(r.blocks)
+        for r in spark.read.parquet(f"{plain_dir}/postings").collect()
+    }
+    extra = [k for k, (nb, df) in salted_blocks.items()
+             if df > 10 and nb > plain_blocks[k]]
+    assert extra, "no hot term shows salted run structure"
     a = _explode_index(spark, salted_dir).sort_values(["term", "doc_id"])
     b = _explode_index(spark, plain_dir).sort_values(["term", "doc_id"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

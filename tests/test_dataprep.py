@@ -1,0 +1,161 @@
+"""Training-data-pipeline operators: dedup (exact / jaccard / minhash /
+simhash), ANN (brute force + IVF), text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_io_spark.operators import dataprep as DP
+from datastream_io_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, documents):
+    """documents plus exact duplicates of the first 20 docs (new ids)."""
+    dups = (documents.orderBy("doc_id").limit(20)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    return documents.unionByName(dups)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_dedup_exact(spark, documents, docs_with_dups):
+    groups = DP.dedup_exact_groups(docs_with_dups)
+    assert groups.where(F.col("n_dups") >= 2).count() >= 20
+    survivors = DP.dedup_exact_keep_first(docs_with_dups)
+    assert survivors.count() == documents.select("text").distinct().count()
+    # survivors keep the LOWEST id → none of the +100000 clones survive
+    # unless their original text was itself a dup with a lower clone id
+    assert survivors.where(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_fingerprint_catches_whitespace_only_dups(spark, documents):
+    messy = documents.limit(10).withColumn(
+        "text", F.concat(F.lit("  "), F.upper("text"), F.lit("   "))
+    ).withColumn("doc_id", F.col("doc_id") + 200000)
+    both = documents.limit(10).unionByName(messy)
+    fp = DP.doc_fingerprint(both)
+    # every messy clone shares its original's fingerprint
+    assert fp.groupBy("fingerprint").count().where("count = 2").count() == 10
+
+
+def test_ngram_jaccard_pairs(spark, docs_with_dups):
+    pairs = DP.ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.99)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # each injected exact dup pairs with its original at jaccard 1.0
+    expect = {(i, i + 100000) for i in range(20)}
+    assert expect <= got
+    for r in pairs.collect():
+        assert 0.99 <= r.jaccard <= 1.0
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs_with_dups):
+    cand = DP.minhash_lsh_candidates(docs_with_dups, n_hashes=32, n_bands=8)
+    got = {(r.doc_a, r.doc_b): r.n_bands_agree for r in cand.collect()}
+    for i in range(20):
+        assert got.get((i, i + 100000)) == 8, \
+            f"exact dup {i} not found in all bands"
+
+
+def test_minhash_deterministic_across_runs(spark, documents):
+    s1 = DP.minhash_signatures(documents.limit(50)).collect()
+    s2 = DP.minhash_signatures(documents.limit(50).repartition(7)).collect()
+    d1 = {r.id: r.sig for r in s1}
+    d2 = {r.id: r.sig for r in s2}
+    assert d1 == d2
+
+
+def test_simhash_prefix_candidates(spark, docs_with_dups):
+    sims = DP.simhash64(docs_with_dups)
+    by_id = {r.id: r.simhash for r in sims.collect()}
+    for i in range(20):
+        assert by_id[i] == by_id[i + 100000]  # identical docs → same hash
+    cand = DP.simhash_prefix_candidates(docs_with_dups, prefix_bits=12,
+                                        max_hamming=0)
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert {(i, i + 100000) for i in range(20)} <= got
+
+
+def test_cosine_bruteforce_vs_numpy(spark, embeddings):
+    pdf = embeddings.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = mat[0]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))[:10]
+    expect = [(int(pdf["vec_id"].iloc[i]), cos[i]) for i in order]
+    got = DP.cosine_topk_bruteforce(embeddings, [float(v) for v in q],
+                                    k=10).collect()
+    assert [r.vec_id for r in got] == [e[0] for e in expect]
+    for r, e in zip(got, expect):
+        assert r.cos == pytest.approx(e[1], abs=1e-9)
+
+
+def test_ivf_recall(spark, embeddings):
+    cents = DP.train_centroids(embeddings, n_clusters=8, n_iters=5)
+    pdf = embeddings.toPandas()
+    q = list(map(float, pdf["embedding"].iloc[3]))
+    exact = [r.vec_id for r in
+             DP.cosine_topk_bruteforce(embeddings, q, k=10).collect()]
+    approx = [r.vec_id for r in
+              DP.ivf_topk(embeddings, cents, q, k=10, nprobe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert approx[0] == exact[0] == 3  # the query vector itself
+
+
+def test_text_quality_and_token_counts(spark, documents):
+    tq = DP.text_quality(documents).toPandas().set_index("doc_id")
+    docs = documents.select("doc_id", "text", "n_chars").toPandas()
+    for _, row in docs.head(50).iterrows():
+        toks = row.text.split()
+        assert tq.loc[row.doc_id, "n_tokens"] == len(toks)
+        assert tq.loc[row.doc_id, "stopword_ratio"] >= 0
+    tc = DP.token_count_bpe_ish(documents).toPandas().set_index("doc_id")
+    assert (tc["n_words"] == tq["n_tokens"]).all()
+    assert (tc["n_bpe_pieces"] >= tc["n_words"]).all()
+
+
+def test_lang_id_heuristic(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps", "你好 世界 这是 中文 文本 测试",
+                 "càfé déjà vu naïve résumé"],
+    }))
+    got = {r.doc_id: r.lang_guess
+           for r in DP.lang_id_heuristic(df).collect()}
+    assert got == {1: "en-like", 2: "zh", 3: "latin-ext"}
+
+
+def test_multimodal_features(spark):
+    media = MM.synth_media_df(spark, n=48)
+    feats = MM.extract_features(media, feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 48
+    for r in rows:
+        assert len(r.feat) == 8
+        assert r.n_bytes == r.width * r.height
+        assert len(r.sha256) == 64
+    # deterministic across partitioning
+    feats2 = MM.extract_features(media.repartition(11), feat_dim=8)
+    a = {r.media_id: (r.sha256, r.feat) for r in rows}
+    b = {r.media_id: (r.sha256, r.feat) for r in feats2.collect()}
+    assert a == b
+
+
+def test_multimodal_stub_guard(spark):
+    media = MM.synth_media_df(spark, n=4)
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, use_real_decoder=True)
+
+
+def test_frame_sample_plan(spark):
+    media = MM.synth_media_df(spark, n=30)
+    plan = MM.frame_sample_plan(media, every_n=3)
+    rows = plan.collect()
+    assert all(r.frame_idx % 3 == 0 for r in rows)
+    videos = media.where("kind = 'video'").count()
+    assert plan.select("media_id").distinct().count() == videos

@@ -1,0 +1,187 @@
+"""§2.10 streaming tests: stream-batch equivalence (SURVEY.md §5.2).
+Each op runs twice — once as a real file-replay stream (ST1 restream,
+micro-batch per file), once as a plain batch plan — and must agree.
+Late-data drop, stateful scoring, and incremental index finalize are
+covered end to end."""
+
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_io_spark.corpus import corpus_df
+from datastream_io_spark.golden import brute_force_topk
+from datastream_io_spark.operators.indexed_search import search_indexed
+from datastream_io_spark.streaming import windows as SW
+from datastream_io_spark.streaming.detectors import (
+    zscore_batch,
+    zscore_pandas_reference,
+    zscore_stateful_stream,
+)
+from datastream_io_spark.streaming.incremental import (
+    finalize_stream_index,
+    ingest_batch,
+)
+from datastream_io_spark.streaming.restream import read_restream, stage_restream
+from tests.conftest import SF0001, load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # parquet timestamps read as TIMESTAMP_NTZ; watermarks/event time
+    # require TIMESTAMP — normalize once (session TZ is UTC)
+    return load_table(spark, SF0001, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, events, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("restream") / "events")
+    schema = stage_restream(events, d, n_chunks=4, order_col="ts")
+    return d, schema
+
+
+def _run_stream(spark, stream_df, mode, name=None):
+    name = name or f"out_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("fn,mode,cols", [
+    (SW.tumbling_counts, "complete",
+     ["w_start", "w_end", "event_type", "n", "sum_value"]),
+    (SW.sliding_counts, "complete", ["w_start", "event_type", "n"]),
+    (SW.session_counts, "complete",
+     ["s_start", "s_end", "user_id", "n_events", "sum_value"]),
+])
+def test_stream_batch_equivalence(spark, events, event_stream_dir, fn, mode, cols):
+    d, schema = event_stream_dir
+    stream = read_restream(spark, d, schema, max_files_per_trigger=1)
+    got = _run_stream(spark, fn(stream), mode)
+    want = fn(events)
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_dedupe(spark, events, tmp_path):
+    # duplicate every event across two chunks → stream dedupe must
+    # reduce back to the batch-distinct answer
+    dup = events.unionByName(events)
+    d = str(tmp_path / "dup_events")
+    schema = stage_restream(dup, d, n_chunks=4, order_col="ts")
+    stream = read_restream(spark, d, schema)
+    # delay > the 30-day data span: no row is ever "late", so the only
+    # row-dropping force in play is the dedupe state itself
+    got = _run_stream(spark, SW.dedupe_stream(stream, ["event_id"], "35 days"),
+                      "append")
+    assert got.count() == events.count()
+    assert _rows(got, ["event_id"]) == _rows(events, ["event_id"])
+
+
+def test_watermark_drops_late_rows(spark, events, tmp_path):
+    """ST5 — a row arriving far behind the watermark is dropped by the
+    streaming agg but kept by the batch agg."""
+    head = events.orderBy("ts").limit(900)
+    late = events.orderBy("ts").limit(1)  # the earliest event, re-sent last
+    d = str(tmp_path / "late_events")
+    # chunk 0..3 = head (time-ordered), chunk 4 = the very old row again
+    schema = stage_restream(head, d, n_chunks=4, order_col="ts")
+    late.write.mode("append").parquet(d)
+    stream = read_restream(spark, d, schema)
+    got = _run_stream(spark, SW.watermarked_tumbling(stream, "1 hour", "1 hour"),
+                      "append")
+    # append mode emits only finalized windows; the late duplicate must
+    # not create/extend any window beyond what head itself finalizes
+    got_n = {(r["w_start"], r["event_type"]): r["n"] for r in got.collect()}
+    want = SW.watermarked_tumbling(head, "1 hour", "1 hour")
+    want_n = {(r["w_start"], r["event_type"]): r["n"] for r in want.collect()}
+    for k, n in got_n.items():
+        assert want_n[k] == n, f"late row leaked into window {k}"
+
+
+def test_stateful_zscore_stream_equals_batch(spark, events, event_stream_dir):
+    d, schema = event_stream_dir
+    stream = read_restream(spark, d, schema)
+    got = _run_stream(spark, zscore_stateful_stream(stream), "append").toPandas()
+    want_batch = zscore_batch(events).toPandas()
+    want_ref = zscore_pandas_reference(
+        events.select("user_id", "event_id", "ts", "value").toPandas())
+    key = ["user_id", "ts", "event_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want_batch = want_batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want_batch) == len(want_ref)
+    for col in ["zscore", "mean", "var"]:
+        assert (got[col] - want_batch[col]).abs().max() < 1e-9
+        assert (got[col] - want_ref[col]).abs().max() < 1e-9
+    # sanity: scoring actually discriminates
+    assert got["zscore"].abs().max() > 1.0
+
+
+def test_incremental_index_foreachbatch(spark, tmp_path):
+    """ST8 — corpus streamed in 3 micro-batches via writeStream.
+    foreachBatch; finalized index must be searchable and rank-identical
+    to the brute-force scorer over the same docs."""
+    n = 150
+    corpus = corpus_df(spark, n, n_partitions=4)
+    src = str(tmp_path / "corpus_stream")
+    schema = stage_restream(corpus, src, n_chunks=3, order_col=None)
+    idx = str(tmp_path / "stream_index")
+    stream = read_restream(spark, src, schema)
+
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: ingest_batch(spark, df, bid, idx,
+                                                    tokenizer="code"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stats = finalize_stream_index(spark, idx, n_buckets=8, tokenizer="code",
+                                  salt_threshold=50, n_salts=4)
+    assert stats["n_docs"] == n
+
+    docs_pdf = (
+        spark.read.parquet(f"{idx}/docs")
+        .join(corpus, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text"))
+        .toPandas()
+    )
+    for query, mode in [("parseConfig", "and"), ("import os error", "or"),
+                        ("parse config", "and")]:
+        expected = brute_force_topk(docs_pdf, query, 10, mode, tokenizer="code")
+        got = [(r.doc_id, r.score)
+               for r in search_indexed(spark, idx, query, 10, mode).collect()]
+        assert [g[0] for g in got] == [e["doc_id"] for e in expected]
+        for g, e in zip(got, expected):
+            assert g[1] == pytest.approx(e["score"], abs=1e-9)
+
+    # exactly-once: re-delivering an already-done batch is a no-op
+    before = spark.read.parquet(f"{idx}/docs").count()
+    ingest_batch(spark, corpus.limit(10), 0, idx, tokenizer="code")
+    assert spark.read.parquet(f"{idx}/docs_staged/batch_*").count() == before
+
+
+def test_zscore_reference_forgetting():
+    """dsio update_formulae semantics: capped effective sample size →
+    the running mean tracks a level shift instead of freezing."""
+    pdf = pd.DataFrame({
+        "user_id": [1] * 400,
+        "event_id": range(400),
+        "ts": pd.date_range("2024-01-01", periods=400, freq="1min"),
+        "value": [0.0] * 200 + [10.0] * 200,
+    })
+    out = zscore_pandas_reference(pdf, n_max=50.0)
+    assert abs(out["mean"].iloc[199]) < 1e-6
+    assert out["mean"].iloc[-1] > 9.0  # forgetting let it adapt
+    assert out["zscore"].iloc[200] > 5.0  # the shift was flagged
