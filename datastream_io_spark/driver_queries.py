@@ -516,6 +516,80 @@ SELECT DISTINCT p_brand FROM part WHERE p_type = 'SMALL'
 # §2.9 scalar function surface (string / date / json / array)
 # --------------------------------------------------------------------------
 
+def q_cross_join_small(spark, sf_dir):
+    """J8 — guarded cross join (dims only): region × orderstatus grid."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+o_cross_join_small = (
+    "SELECT r_name, o_orderstatus FROM region "
+    "CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t"
+)
+
+
+def q_intersect_brands(spark, sf_dir):
+    """W7 — brands selling BOTH economy and promo parts."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.where(F.col("p_type") == "ECONOMY").select("p_brand").distinct()
+    b = p.where(F.col("p_type") == "PROMO").select("p_brand").distinct()
+    return a.intersect(b)
+
+
+o_intersect_brands = """
+SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
+INTERSECT
+SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO'
+"""
+
+
+def q_global_sort_suppliers(spark, sf_dir):
+    """W4 — global sort (range-partition exchange): suppliers by balance."""
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .limit(25)
+    )
+
+
+o_global_sort_suppliers = (
+    "SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+    "ORDER BY s_acctbal DESC, s_suppkey LIMIT 25"
+)
+
+
+def q_array_ops_extended(spark, sf_dir):
+    """§2.9 array tier #2: sort_array / slice / arrays_zip / transform /
+    array_distinct over the tokenized documents."""
+    tok = _doc_tokens(spark, sf_dir)
+    return tok.select(
+        "doc_id",
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+        F.slice(F.sort_array("tokens"), 1, 3).alias("first3_sorted"),
+        F.size(F.filter("tokens", lambda t: F.length(t) > 5))
+        .cast("long").alias("n_long_tokens"),
+        F.transform(F.slice("tokens", 1, 2), lambda t: F.upper(t))
+        .alias("first2_upper"),
+    )
+
+
+o_array_ops_extended = """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                             t -> t <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+       list_sort(tokens)[1:3] AS first3_sorted,
+       CAST(len(list_filter(tokens, t -> length(t) > 5)) AS BIGINT) AS n_long_tokens,
+       list_transform(tokens[1:2], t -> upper(t)) AS first2_upper
+FROM tok
+"""
+
+
 def q_string_funcs(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     return p.select(
@@ -851,6 +925,10 @@ QUERIES = {
     "window_rolling_sum": q_window_rolling_sum,
     "distinct_segments": q_distinct_segments,
     "set_ops_brands": q_set_ops_brands,
+    "cross_join_small": q_cross_join_small,
+    "intersect_brands": q_intersect_brands,
+    "global_sort_suppliers": q_global_sort_suppliers,
+    "array_ops_extended": q_array_ops_extended,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "json_funcs": q_json_funcs,
@@ -897,6 +975,10 @@ ORACLES = {
     "window_rolling_sum": o_window_rolling_sum,
     "distinct_segments": o_distinct_segments,
     "set_ops_brands": o_set_ops_brands,
+    "cross_join_small": o_cross_join_small,
+    "intersect_brands": o_intersect_brands,
+    "global_sort_suppliers": o_global_sort_suppliers,
+    "array_ops_extended": o_array_ops_extended,
     "string_funcs": o_string_funcs,
     "date_funcs": o_date_funcs,
     "json_funcs": o_json_funcs,

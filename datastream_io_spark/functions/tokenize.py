@@ -24,6 +24,7 @@ and the query ``parse config`` match. Golden-tested (no SQL oracle).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
@@ -49,14 +50,24 @@ def _split_ident(ident: str) -> list[str]:
     return parts
 
 
+@lru_cache(maxsize=1 << 20)
+def _expand_ident(ident: str) -> tuple[str, ...]:
+    """ident → (lowered whole, *sub-tokens if it decomposes). Memoized:
+    identifier frequency is Zipfian, so within an Arrow batch (and
+    across batches in a long-lived Python worker) almost every lookup
+    is a cache hit — this is the hot inner loop of the build."""
+    low = ident.lower()
+    parts = _split_ident(ident)
+    if len(parts) > 1:
+        return (low, *parts)
+    return (low,)
+
+
 def tokenize_code(text: str) -> list[str]:
     """Pure code tokenizer: whole identifier + sub-tokens when it splits."""
     out: list[str] = []
     for ident in _IDENT_RE.findall(text):
-        out.append(ident.lower())
-        parts = _split_ident(ident)
-        if len(parts) > 1:
-            out.extend(parts)
+        out.extend(_expand_ident(ident))
     return out
 
 
@@ -75,17 +86,14 @@ def tokenize_simple_udf(s: pd.Series) -> pd.Series:
 
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_code_udf(s: pd.Series) -> pd.Series:
-    # identifier extraction is vectorized; camel splitting is per-identifier
-    # Python over the Arrow batch (not per-row Spark serde)
+    # identifier extraction is vectorized; camel splitting hits the
+    # memoized _expand_ident (Zipfian reuse) over the Arrow batch
     idents = s.str.findall(_IDENT_RE)
 
     def expand(lst: list[str]) -> list[str]:
         out: list[str] = []
         for ident in lst:
-            out.append(ident.lower())
-            parts = _split_ident(ident)
-            if len(parts) > 1:
-                out.extend(parts)
+            out.extend(_expand_ident(ident))
         return out
 
     return idents.map(expand)

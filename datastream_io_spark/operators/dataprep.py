@@ -326,6 +326,41 @@ def ivf_topk(embeddings: DataFrame, centroids: list[list[float]],
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
 
 
+def build_ann_index(embeddings: DataFrame, out_dir: str,
+                    centroids: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist an IVF index: vectors written ``partitionBy(cluster)`` +
+    a centroids JSON sidecar. Queries then list only the ``nprobe``
+    probed cluster directories — the same physical partition-pruning
+    trick as the term_bucket posting layout (verify with .explain:
+    PartitionFilters on ``cluster``)."""
+    import json
+
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    (assigned.repartition("cluster").write.mode("overwrite")
+     .partitionBy("cluster").parquet(f"{out_dir}/vectors"))
+    with open(f"{out_dir}/centroids.json", "w") as f:
+        json.dump(centroids, f)
+
+
+def search_ann_index(spark, index_dir: str, query_vec: list[float],
+                     k: int = 10, nprobe: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Query the persisted IVF index with cluster partition pruning."""
+    import json
+
+    with open(f"{index_dir}/centroids.json") as f:
+        centroids = json.load(f)
+    qv = np.asarray(query_vec, np.float64)
+    cents = np.asarray(centroids, np.float64)
+    probe = [int(i) for i in
+             np.argsort(((cents - qv[None, :]) ** 2).sum(axis=1))[:nprobe]]
+    vecs = spark.read.parquet(f"{index_dir}/vectors").where(
+        F.col("cluster").isin(probe))  # directory-level pruning
+    return cosine_topk_bruteforce(vecs, query_vec, k, id_col, vec_col)
+
+
 def train_centroids(embeddings: DataFrame, n_clusters: int = 8,
                     n_iters: int = 5, vec_col: str = "embedding",
                     seed: int = 5) -> list[list[float]]:

@@ -54,6 +54,61 @@ from datastream_io_spark.operators.relational_search import parse_query
 _DL_CACHE: dict[str, object] = {}
 
 
+class Searcher:
+    """Warm query handle over a built index: stats, the dictionary, and
+    the doc-length broadcast are loaded once, so each query costs ONE
+    Spark job (bucket-pruned postings scan → per-split WAND → top-k)
+    plus an optional broadcast join for display columns.
+
+    ``dict_cache='driver'`` pulls the dictionary into driver memory —
+    right up to ~10^7 terms. Beyond that (10^12-file corpora), pass
+    ``dict_cache='spark'`` to keep Q2 as a bucket-pruned Spark lookup
+    per query (one extra tiny job), which never materializes the dict
+    anywhere whole.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 dict_cache: str = "driver"):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = read_stats(index_dir)
+        self.dl_b = _dl_broadcast(spark, index_dir)
+        self._dict_pdf = None
+        if dict_cache == "driver":
+            self._dict_pdf = (
+                spark.read.parquet(os.path.join(index_dir, "dict"))
+                .toPandas().set_index("term")
+            )
+
+    def _lookup(self, terms: list[str]) -> list[dict]:
+        if self._dict_pdf is not None:
+            hits = self._dict_pdf[self._dict_pdf.index.isin(terms)]
+            return [
+                {"term": t, "term_bucket": int(r["term_bucket"]),
+                 "idf": float(r["idf"])}
+                for t, r in hits.iterrows()
+            ]
+        return [r.asDict() for r in
+                lookup_terms(self.spark, self.index_dir, terms)]
+
+    def search(self, query: str, k: int = 10, mode: str = "and",
+               with_doc_cols: bool = False) -> DataFrame:
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        terms = parse_query(query, self.stats["tokenizer"])
+        spark_empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return spark_empty
+        rows = self._lookup(terms)
+        if (mode == "and" and len(rows) < len(terms)) or not rows:
+            return spark_empty
+        idf = {r["term"]: float(r["idf"]) for r in rows}
+        buckets = sorted({int(r["term_bucket"]) for r in rows})
+        return _wand_topk(self.spark, self.index_dir, idf, buckets,
+                          self.dl_b, float(self.stats["avgdl"]),
+                          len(terms), k, mode, with_doc_cols)
+
+
 def _dl_broadcast(spark: SparkSession, index_dir: str):
     key = os.path.abspath(index_dir)
     if key not in _DL_CACHE:
@@ -213,16 +268,19 @@ def search_indexed(
         return spark_empty
     idf = {r["term"]: float(r["idf"]) for r in dict_rows}
     buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
-    found_terms = sorted(idf)
+    dl_b = _dl_broadcast(spark, index_dir)
+    return _wand_topk(spark, index_dir, idf, buckets, dl_b,
+                      float(stats["avgdl"]), len(terms), k, mode,
+                      with_doc_cols)
 
+
+def _wand_topk(spark, index_dir, idf, buckets, dl_b, avgdl, n_terms, k,
+               mode, with_doc_cols):
+    found_terms = sorted(idf)
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     prows = postings.where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(found_terms)
     ).select("split_id", "term", "blocks")
-
-    dl_b = _dl_broadcast(spark, index_dir)
-    avgdl = float(stats["avgdl"])
-    n_terms = len(terms)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _wand_split(pdf, idf, dl_b, avgdl, k, mode, n_terms)

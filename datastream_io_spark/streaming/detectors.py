@@ -57,6 +57,9 @@ STATE_SCHEMA = StructType([
 ])
 
 
+N_WARMUP = 10.0  # observations per key before z-scores are emitted
+
+
 def update_and_score(
     values: np.ndarray, n: float, mean: float, var: float, n_max: float
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, float, float, float]:
@@ -66,12 +69,17 @@ def update_and_score(
     per-row recurrence is inherently sequential (each update feeds the
     next), so this loops over the batch in Python — bounded by batch
     size, not dataset size; everything around it is vectorized/Arrow.
+
+    Rows seen while n < N_WARMUP score 0: with one observation the
+    running variance is ~0 and the second row would z-score at ~1e8
+    (observed in the restream CLI) — a running-Gaussian detector needs
+    a minimum sample before its scale estimate means anything.
     """
     z = np.empty(values.size, np.float64)
     means = np.empty(values.size, np.float64)
     vars_ = np.empty(values.size, np.float64)
     for i, x in enumerate(values):
-        z[i] = 0.0 if n == 0 else (x - mean) / np.sqrt(max(var, EPS))
+        z[i] = 0.0 if n < N_WARMUP else (x - mean) / np.sqrt(max(var, EPS))
         n = min(n + 1.0, n_max)
         w = 1.0 / n
         old_mean = mean

@@ -75,6 +75,24 @@ def test_frozen_golden_files(spark, doc_index, code_index, doc_ctx, code_ctx,
                frozen["topk"])
 
 
+def test_searcher_matches_search_indexed(spark, doc_index, doc_ctx):
+    """Warm Searcher (driver-cached dict, one job per query) must equal
+    the cold path exactly, in both dict_cache modes."""
+    from datastream_io_spark.operators.indexed_search import Searcher
+
+    _, pdf = doc_ctx
+    for cache in ("driver", "spark"):
+        s = Searcher(spark, doc_index, dict_cache=cache)
+        for query, mode in [("window agg", "and"), ("scan", "or"),
+                            ("missingterm scan", "and")]:
+            a = [(r.doc_id, r.score)
+                 for r in s.search(query, K, mode).collect()]
+            b = [(r.doc_id, r.score)
+                 for r in search_indexed(spark, doc_index, query, K,
+                                         mode).collect()]
+            assert a == b
+
+
 def test_display_join(spark, doc_index):
     rows = search_indexed(spark, doc_index, "window agg", 5, "and",
                           with_doc_cols=True).collect()
