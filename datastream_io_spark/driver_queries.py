@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datastream_io_spark.functions.bm25 import idf_col, tf_norm_col
+from datastream_io_spark.functions.bm25 import idf_col
 from datastream_io_spark.functions.tokenize import tokenize_simple_udf
 from datastream_io_spark.operators import postings as P
 from datastream_io_spark.operators.relational_search import (

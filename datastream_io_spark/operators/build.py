@@ -8,44 +8,53 @@ resumable (C6, BASELINE.json:14):
      counts + prefix-sum offsets + in-split row_number; no global
      sort), add content_sha256, write the corpus back PARTITIONED BY
      split_id. Doc ids never change across resumes.
-  B. per-split tf jobs: read ONLY that split's staged partition
+  B. per-split SEGMENT jobs: read only that split's staged partition
      (directory-level partition pruning), tokenize ONCE (vectorized
-     pandas UDF — the build's only Python stage besides encode),
-     aggregate (doc, term) → tf with doc_len carried through the
-     explode (no extra join), stage raw tf rows + a lineage manifest
-     with per-split metrics. Independent jobs → resumable + runnable
-     concurrently.
-  C. finalize: exact global stats from the manifests (avgdl needs ALL
-     docs — this is why encode waits), range-salt hot terms (C4),
-     block-encode per (term, split, salt) run inside ``applyInPandas``
-     (delta+varint, block maxima), merge runs per (term, split) IN PURE
-     COLUMN OPS (runs are doc-id-disjoint by construction: splits own
-     contiguous id ranges, salted sub-ranges are contiguous too — so
-     merge = sort_array + flatten, zero re-encode), write ``postings/``
-     partitioned by term_bucket + broadcastable ``dict/`` + ``docs/``.
+     pandas UDF), tf via partial+final hash agg with doc_len carried
+     through the explode (no join), range-salt hot terms (C4, in-split
+     df), and block-encode sorted posting runs (delta + varint,
+     per-block max_tf / min_dl) in a sorted-partition ``mapInPandas``
+     kernel. The durable checkpoint per split is the COMPRESSED
+     segment (~1-2 bytes/posting), not raw tf rows — encoding needs no
+     global statistics because the per-block WAND bound is derived at
+     query time from (max_tf, min_dl, avgdl). Independent jobs →
+     resumable + runnable concurrently.
+  C. finalize: exact global stats from the manifests, merge runs per
+     (term, split) IN PURE COLUMN OPS (runs are doc-id-disjoint by
+     construction: splits own contiguous id ranges, salted sub-ranges
+     are contiguous too — so merge = sort_array + flatten, zero
+     re-encode, the shuffle moves only compressed blocks), write
+     ``postings/`` partitioned by term_bucket + broadcastable
+     ``dict/`` + ``docs/``.
 
-Why staging instead of re-deriving splits from the source every job
-(the v1 design): each segment job used to re-shuffle the WHOLE corpus
-for dedupe + window, and tokenization ran twice (doc_len pass + tf
-pass). Staging costs one extra write of the corpus but makes every
-split job a pruned scan, halves the tokenize work, and collapses the
-job count — measured scaling efficiency went from 0.37 to this design.
-At petabyte scale you skip the copy by partitioning the source table
-itself on the split expression (Iceberg partition transform) — the
-split jobs then prune on the source directly; the engine only needs
-"read split i cheaply".
+Design history (each step measured on the 20k/50k-file synthetic
+corpus, local[8] vs local[32]):
+  v1 re-derived splits from the source per job (full dedupe shuffle ×
+  n_splits, tokenize ×2) → 75 files/s @8, efficiency 0.37.
+  v2 staged tf rows and encoded at finalize in per-group applyInPandas
+  → the 400k tiny pandas groups cost ~150s alone, and checkpointing
+  raw tf rows bottlenecked on single-disk I/O that no core count can
+  scale.
+  v3 (this): encode inside the split job via the numpy change-point
+  mapInPandas kernel; checkpoints shrink ~10×; finalize only merges
+  compressed runs.
+At petabyte scale the staging copy is skipped by partitioning the
+source table itself on the split expression (Iceberg partition
+transform) — split jobs then prune on the source directly.
 
 Skew (C4): ``documents``-style corpora where every term is hot
 (FIXTURES.md §1) would put a term's whole split into one encode task.
-Terms whose GLOBAL df exceeds ``salt_threshold`` are range-salted on
+Terms whose IN-SPLIT df exceeds ``salt_threshold`` are range-salted on
 doc_id (salts are CONTIGUOUS doc ranges inside a split, so runs stay
-disjoint). AQE cannot do this — it splits skewed join partitions, not
-aggregation groups (SURVEY.md §4.2).
+disjoint and the merge stays a concat). AQE cannot do this — it splits
+skewed join partitions, not aggregation groups (SURVEY.md §4.2).
 
 Index layout (consumed by indexed_search / streaming finalize alike):
   staged_corpus/split_id=N/   doc_id, repo, path, commit, lang,
                               content_sha256, content   (build-time only)
-  tf_staged/split_NNNN/       doc_id, term, tf, dl
+  segments/split_NNNN/        term, salt, first/last_doc_id, df_run,
+                              cf_run, blocks (compressed)
+  doc_dl/split_NNNN/          doc_id, dl
   manifest/split_NNNN.json    lineage + metrics per split
   docs/        doc_id, repo, path, commit, lang, dl, content_sha256, split_id
   stats.json   n_docs, avgdl, n_splits, n_buckets, tokenizer, k1, b
@@ -77,7 +86,7 @@ BLOCKS_TYPE = T.ArrayType(
             T.StructField("max_doc_id", T.LongType()),
             T.StructField("n", T.IntegerType()),
             T.StructField("max_tf", T.IntegerType()),
-            T.StructField("max_tfn", T.FloatType()),
+            T.StructField("min_dl", T.IntegerType()),
             T.StructField("docs", T.BinaryType()),
             T.StructField("tfs", T.BinaryType()),
         ]
@@ -94,10 +103,6 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("cf_run", T.LongType()),
         T.StructField("blocks", BLOCKS_TYPE),
     ]
-)
-
-RUN_SCHEMA = T.StructType(
-    list(SEGMENT_SCHEMA.fields) + [T.StructField("split_id", T.IntegerType())]
 )
 
 
@@ -177,25 +182,69 @@ def stage_corpus(
     return info
 
 
-def build_split_tf(
+def _encode_partitions(it):
+    """mapInPandas encode kernel (C1+C2). Input batches come from a
+    partition hash-distributed on (term, salt) and sorted by
+    (term, salt, doc_id): every run is contiguous, found with numpy
+    change-point detection — NO per-group pandas DataFrame (an
+    applyInPandas-per-group variant spent ~150s on 400k tiny groups at
+    50k docs). A run straddling an Arrow batch boundary yields two
+    doc-disjoint runs, which the downstream merge (sort by first_doc_id
+    + flatten) handles by construction."""
+    import numpy as np
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            rows.append((
+                terms[s], int(salts[s]), int(ids[s]), int(ids[e - 1]),
+                int(e - s), int(tfs[s:e].sum()),
+                encode_blocks(ids[s:e], tfs[s:e], dls[s:e]),
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "term", "salt", "first_doc_id", "last_doc_id",
+            "df_run", "cf_run", "blocks"])
+
+
+def build_segment(
     spark: SparkSession,
     index_dir: str,
     split_id: int,
     info: dict,
+    salt_threshold: int = 1 << 20,
+    n_salts: int = 8,
     source_desc: str = "",
 ) -> dict:
-    """Phase B for one split: pruned scan → tokenize once → tf + dl.
-    Atomic: temp write → rename → manifest."""
+    """Phase B for one split: pruned scan → tokenize once → tf →
+    salt → sorted block encode. Atomic: temp write → rename → manifest.
+    """
     tokenizer = info["tokenizer"]
     count = info["split_counts"].get(str(split_id), 0)
-    out_dir = os.path.join(index_dir, "tf_staged", f"split_{split_id:04d}")
-    tmp_dir = os.path.join(index_dir, "tf_staged", f"_tmp_split_{split_id:04d}")
-    tf_schema = "doc_id long, term string, tf long, dl long"
+    offset = info["split_offsets"][str(split_id)]
+    seg_dir = os.path.join(index_dir, "segments", f"split_{split_id:04d}")
+    tmp_dir = os.path.join(index_dir, "segments", f"_tmp_split_{split_id:04d}")
+    dl_dir = os.path.join(index_dir, "doc_dl", f"split_{split_id:04d}")
 
     if count == 0:
-        spark.createDataFrame([], tf_schema).write.mode("overwrite").parquet(out_dir)
-        metrics = {"n_docs": 0, "n_postings": 0, "n_terms": 0, "cf": 0,
-                   "sum_dl": 0, "sha_crc_sum": 0, "input": source_desc}
+        spark.createDataFrame([], SEGMENT_SCHEMA).write.mode(
+            "overwrite").parquet(seg_dir)
+        spark.createDataFrame([], "doc_id long, dl long").write.mode(
+            "overwrite").parquet(dl_dir)
+        metrics = {"n_docs": 0, "n_docs_tokenized": 0, "n_postings": 0,
+                   "n_terms": 0, "cf": 0, "sum_dl": 0,
+                   "compressed_bytes": 0, "sha_crc_sum": 0,
+                   "input": source_desc}
         M.write_split_manifest(index_dir, split_id, metrics)
         return metrics
 
@@ -203,78 +252,97 @@ def build_split_tf(
         os.path.join(index_dir, "staged_corpus")
     ).where(F.col("split_id") == split_id)  # directory partition pruning
 
+    # a split's partition is typically ONE parquet file → the scan stage
+    # gets one task and the tokenize UDF runs single-threaded per split
+    # (measured: local[8] == local[32] wall time at 500k files). Fan the
+    # rows out across the executor slots before the expensive UDF.
+    fan = max(4, spark.sparkContext.defaultParallelism)
     tok = P.with_tokens(
-        split_rows.select("doc_id", "content", "content_sha256"),
+        split_rows.select("doc_id", "content").repartition(fan),
         "content", mode=tokenizer, use_udf=True,
-    ).select("doc_id", "tokens", "content_sha256")
-    # carry dl through the explode → tf agg needs no doc_len join
+    ).select("doc_id", "tokens")
     exploded = tok.select(
         "doc_id",
         F.size("tokens").cast("long").alias("dl"),
         F.explode("tokens").alias("term"),
     )
+    # persisted: three downstream actions (hot-set broadcast build, the
+    # segment write, the dl side-table write) would otherwise each
+    # replay the tokenize UDF — measured as 3× the split job's cost
     tf = exploded.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
-    ).select("doc_id", "term", "tf", "dl")
+    ).persist()
+    try:
+        # C4 — in-split hot terms get range-salted over the split's
+        # contiguous doc range so encode groups cap at ~count/n_salts docs
+        hot = (
+            tf.groupBy("term").agg(F.count("*").alias("df_seg"))
+            .where(F.col("df_seg") > salt_threshold)
+            .select("term").withColumn("is_hot", F.lit(True))
+        )
+        salt_expr = F.floor(
+            (F.col("doc_id") - F.lit(offset)) * F.lit(n_salts)
+            / F.lit(max(count, 1))
+        ).cast("int")
+        salted = tf.join(F.broadcast(hot), "term", "left").withColumn(
+            "salt",
+            F.when(F.col("is_hot").isNotNull(), salt_expr).otherwise(F.lit(0)),
+        ).drop("is_hot")
 
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    tf.write.mode("overwrite").parquet(tmp_dir)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(tmp_dir, out_dir)
+        runs = (
+            salted.select("term", "salt", "doc_id", "tf", "dl")
+            .repartition(spark.sparkContext.defaultParallelism, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_encode_partitions, SEGMENT_SCHEMA)
+        )
 
-    # metrics from the durably written data (BASELINE.json:6 lineage)
-    done = spark.read.parquet(out_dir)
-    mrow = done.agg(
-        F.count("*").alias("n_postings"),
-        F.countDistinct("term").alias("n_terms"),
-        F.sum("tf").alias("cf"),
-    ).collect()[0]
-    drow = done.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count("*").alias("n_docs_tok"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    sha_crc = split_rows.agg(
-        F.sum(F.crc32("content_sha256")).alias("s")).collect()[0]["s"]
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        runs.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)
+        os.replace(tmp_dir, seg_dir)
+
+        # per-doc dl side table (query-time dl broadcast + docs/ column);
+        # docs with zero tokens have no tf rows → coalesced to dl=0 later
+        ddl = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        ddl.write.mode("overwrite").parquet(dl_dir)
+    finally:
+        tf.unpersist(blocking=False)
+
+    # metrics from the durably written data (BASELINE.json:6 lineage:
+    # postings count, compressed bytes, term cardinality) — ONE collect
+    seg = spark.read.parquet(seg_dir)
+    ddl_done = spark.read.parquet(dl_dir)
+    mrow = (
+        seg.agg(
+            F.sum("df_run").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("cf_run").alias("cf"),
+            F.sum(F.aggregate(
+                "blocks", F.lit(0).cast("long"),
+                lambda acc, b: acc + F.length(b["docs"]) + F.length(b["tfs"]),
+            )).alias("compressed_bytes"),
+        )
+        .crossJoin(ddl_done.agg(F.count("*").alias("n_docs_tok"),
+                                F.sum("dl").alias("sum_dl")))
+        .crossJoin(split_rows.agg(
+            F.sum(F.crc32("content_sha256")).alias("sha_crc")))
+        .collect()[0]
+    )
     metrics = {
         "n_docs": int(count),
-        "n_docs_tokenized": int(drow["n_docs_tok"] or 0),
+        "n_docs_tokenized": int(mrow["n_docs_tok"] or 0),
         "n_postings": int(mrow["n_postings"] or 0),
         "n_terms": int(mrow["n_terms"] or 0),
         "cf": int(mrow["cf"] or 0),
-        "sum_dl": int(drow["sum_dl"] or 0),
-        "sha_crc_sum": int(sha_crc or 0),
+        "sum_dl": int(mrow["sum_dl"] or 0),
+        "compressed_bytes": int(mrow["compressed_bytes"] or 0),
+        "sha_crc_sum": int(mrow["sha_crc"] or 0),
         "input": source_desc,
     }
     M.write_split_manifest(index_dir, split_id, metrics)
     return metrics
-
-
-def _encode_run(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term[, split], salt) group → one
-    sorted, block-compressed posting run."""
-    pdf = pdf.sort_values("doc_id")
-    ids = pdf["doc_id"].to_numpy()
-    tfs = pdf["tf"].to_numpy()
-    tfns = pdf["tfn"].to_numpy()
-    blocks = encode_blocks(ids, tfs, tfns)
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "first_doc_id": [int(ids[0])],
-            "last_doc_id": [int(ids[-1])],
-            "df_run": [int(ids.size)],
-            "cf_run": [int(tfs.sum())],
-            "blocks": [blocks],
-        }
-    )
-
-
-def _encode_run_with_split(pdf: pd.DataFrame) -> pd.DataFrame:
-    out = _encode_run(pdf)
-    out["split_id"] = int(pdf["split_id"].iloc[0])
-    return out
 
 
 def finalize_index(
@@ -284,57 +352,30 @@ def finalize_index(
     salt_threshold: int = 1 << 20,
     n_salts: int = 8,
 ) -> dict:
-    """Phase C — exact stats, salted block encode, run merge, final
-    layout. Idempotent (pure function of the staged data)."""
+    """Phase C — exact stats from manifests, pure-Column run merge,
+    final layout. Idempotent. The only data moved is compressed blocks.
+    """
     n_splits = info["n_splits"]
     n_buckets = info["n_buckets"]
     manifests = [M.read_split_manifest(index_dir, s) for s in range(n_splits)]
     n_docs = sum(m["n_docs"] for m in manifests)
     sum_dl = sum(m["sum_dl"] for m in manifests)
     n_docs_tok = sum(m.get("n_docs_tokenized", m["n_docs"]) for m in manifests)
-    # docs with zero tokens contribute dl=0 to avgdl
     avgdl = sum_dl / n_docs if n_docs else 0.0
 
-    staged = spark.read.parquet(os.path.join(index_dir, "tf_staged", "split_*"))
-
-    # C4: global hot-term detection (exact df), broadcast the hot set
-    df_global = staged.groupBy("term").agg(F.count("*").alias("df"))
-    hot = df_global.where(F.col("df") > salt_threshold).select("term")
     offsets = {int(k): v for k, v in info["split_offsets"].items()}
-    counts = {int(k): max(v, 1) for k, v in info["split_counts"].items()}
-    split_ids = sorted(offsets)
-    off_arr = F.array(*[F.lit(offsets[s]) for s in split_ids])
-    cnt_arr = F.array(*[F.lit(counts.get(s, 1)) for s in split_ids])
-    # doc_id → split via offset bisect-free lookup: splits own contiguous
-    # ranges [offset, offset+count); derive split from the staged layout
-    # instead of re-hashing keys (content keys aren't in tf rows)
+    off_arr = F.array(*[F.lit(offsets[s]) for s in sorted(offsets)])
+    segs = spark.read.parquet(os.path.join(index_dir, "segments", "split_*"))
+    # derive split from the run's doc range (splits own contiguous ranges)
     split_col = F.aggregate(
         F.sequence(F.lit(0), F.lit(n_splits - 1)),
         F.lit(0),
         lambda acc, s: F.when(
-            F.col("doc_id") >= F.element_at(off_arr, s + 1), s
+            F.col("first_doc_id") >= F.element_at(off_arr, s + 1), s
         ).otherwise(acc),
     ).cast("int")
-    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
-        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl or 1.0)))
-    )
-    enriched = (
-        staged.withColumn("split_id", split_col)
-        .withColumn("tfn", tfn.cast("float"))
-        .join(F.broadcast(hot.withColumn("is_hot", F.lit(True))), "term", "left")
-    )
-    offset_col = F.element_at(off_arr, F.col("split_id") + 1)
-    span_col = F.element_at(cnt_arr, F.col("split_id") + 1)
-    salt_expr = F.floor(
-        (F.col("doc_id") - offset_col) * F.lit(n_salts) / span_col).cast("int")
-    enriched = enriched.withColumn(
-        "salt", F.when(F.col("is_hot").isNotNull(), salt_expr).otherwise(F.lit(0))
-    ).drop("is_hot")
-
-    runs = enriched.groupBy("term", "split_id", "salt").applyInPandas(
-        _encode_run_with_split, RUN_SCHEMA)
     merged = (
-        runs
+        segs.withColumn("split_id", split_col)
         .withColumn("term_bucket",
                     F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
         .groupBy("term", "term_bucket", "split_id")
@@ -368,8 +409,10 @@ def finalize_index(
     )
     dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dict"))
 
-    # docs/: staged metadata + dl (docs with no tokens → dl 0)
-    dl_per_doc = staged.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    # docs/: staged metadata + dl side tables (no-token docs → dl 0)
+    dl_per_doc = spark.read.parquet(
+        os.path.join(index_dir, "doc_dl", "split_*")
+    ).select("doc_id", "dl")
     docs = (
         spark.read.parquet(os.path.join(index_dir, "staged_corpus"))
         .select("doc_id", "repo", "path", "commit", "lang",
@@ -381,14 +424,8 @@ def finalize_index(
     )
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
-    merge_metrics_row = postings.agg(
+    merge_row = postings.agg(
         F.count("*").alias("n_rows"),
-        F.sum(
-            F.aggregate(
-                "blocks", F.lit(0).cast("long"),
-                lambda acc, b: acc + F.length(b["docs"]) + F.length(b["tfs"]),
-            )
-        ).alias("compressed_bytes"),
         F.sum("df").alias("n_postings"),
     ).collect()[0]
     n_terms = dictionary.count()
@@ -407,9 +444,9 @@ def finalize_index(
     _write_json_atomic(_stats_path(index_dir), stats)
     merge_metrics = {
         "n_terms": int(n_terms),
-        "n_posting_rows": int(merge_metrics_row["n_rows"] or 0),
-        "n_postings": int(merge_metrics_row["n_postings"] or 0),
-        "compressed_bytes": int(merge_metrics_row["compressed_bytes"] or 0),
+        "n_posting_rows": int(merge_row["n_rows"] or 0),
+        "n_postings": int(merge_row["n_postings"] or 0),
+        "compressed_bytes": sum(m.get("compressed_bytes", 0) for m in manifests),
         "salt_threshold": salt_threshold,
         "n_salts": n_salts,
     }
@@ -463,7 +500,9 @@ def build_index(
         to_run, to_fail = pending, []
 
     def run(split_id: int) -> None:
-        build_split_tf(spark, index_dir, split_id, info, source_desc=source_desc)
+        build_segment(spark, index_dir, split_id, info,
+                      salt_threshold=salt_threshold, n_salts=n_salts,
+                      source_desc=source_desc)
 
     if max_concurrent_splits <= 1 or len(to_run) <= 1:
         for split_id in to_run:

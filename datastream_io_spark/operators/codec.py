@@ -10,10 +10,16 @@ into blocks of ≤128 doc ids; per block we store
     max_doc_id   : int64   block-skip bound (intersection)
     n            : int32   postings in the block
     max_tf       : int32   raw tf bound
-    max_tfn      : float32 max of the BM25 tf-normalization term in the
-                           block — query-time block upper bound is
-                           idf(t) * max_tfn (block-max WAND, Ding & Suel
-                           SIGIR 2011)
+    min_dl       : int32   smallest doc_len in the block — the BM25
+                           tf-normalization is increasing in tf and
+                           decreasing in dl, so idf(t) * tfn(max_tf,
+                           min_dl, avgdl) is a valid per-block score
+                           upper bound (block-max WAND, Ding & Suel
+                           SIGIR 2011) computable at QUERY time; storing
+                           (max_tf, min_dl) instead of a precomputed
+                           bound lets segments be fully encoded before
+                           the global avgdl exists — the per-split jobs
+                           checkpoint compressed blocks, not raw tf rows
     docs         : binary  varint deltas of doc_ids[1:] (doc_ids[0] ==
                            first_doc_id); strictly positive
     tfs          : binary  varint tfs (n values)
@@ -79,14 +85,14 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    tfns: np.ndarray,
+    dls: np.ndarray,
     block_size: int = BLOCK_SIZE,
 ) -> list[dict]:
-    """C2 — sorted (doc_id, tf, tf_norm) arrays → list of block dicts.
+    """C2 — sorted (doc_id, tf, doc_len) arrays → list of block dicts.
 
-    ``doc_ids`` must be strictly increasing int64; ``tfns`` is the
-    precomputed per-posting BM25 tf-normalization (needs global avgdl,
-    frozen in the build's phase-A stats before any segment runs).
+    ``doc_ids`` must be strictly increasing int64. Blocks need no global
+    statistics (see ``min_dl`` above), so segments are encodable the
+    moment a split is tokenized.
     """
     doc_ids = np.ascontiguousarray(doc_ids, np.int64)
     tfs = np.ascontiguousarray(tfs, np.int64)
@@ -101,7 +107,7 @@ def encode_blocks(
                 "max_doc_id": int(ids[-1]),
                 "n": int(e - s),
                 "max_tf": int(tfs[s:e].max()),
-                "max_tfn": float(np.max(tfns[s:e])),
+                "min_dl": int(dls[s:e].min()),
                 "docs": varint_encode(deltas),
                 "tfs": varint_encode(tfs[s:e].astype(np.uint64)),
             }

@@ -16,8 +16,10 @@ doc_id range. A query fans out as
   → optional broadcast join back to docs/ for display columns (J1).
 
 Block-max usage (Ding & Suel, SIGIR 2011, adapted to vectorized batch
-execution): per-block ``max_tfn`` gives the score upper bound
-``idf(t) * max_tfn``. The OR path decodes doc ids only, accumulates
+execution): each block stores (max_tf, min_dl); since BM25's
+tf-normalization is increasing in tf and decreasing in dl, the block's
+score upper bound is ``idf(t) * tfn(max_tf, min_dl, avgdl)``, computed
+at query time. The OR path decodes doc ids only, accumulates
 per-doc upper bounds, exact-scores the top-k-by-bound to establish θ,
 and then exact-scores only survivors (bound ≥ θ) — docs below θ are
 never tf-decoded or scored. The AND path uses ``[first_doc_id,
@@ -205,7 +207,8 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], dl_b, avgdl: float,
                 d = decode_block_docs(b)
                 decoded[(term, j)] = (d, None)  # tfs decoded lazily on demand
                 ids_all.append(d)
-                ub_all.append(np.full(d.size, w * b["max_tfn"], np.float64))
+                bound = w * _tfn(float(b["max_tf"]), float(b["min_dl"]), avgdl)
+                ub_all.append(np.full(d.size, bound, np.float64))
         ids_cat = np.concatenate(ids_all)
         ub_cat = np.concatenate(ub_all)
         order = np.argsort(ids_cat, kind="stable")

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -150,3 +151,106 @@ def zscore_pandas_reference(pdf: pd.DataFrame, n_max: float = 200.0) -> pd.DataF
         pd.concat(outs).sort_values(["user_id", "ts", "event_id"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# ST7b — rolling-window percentile detector + dsio-style registry
+# ---------------------------------------------------------------------------
+
+PCT_STATE_SCHEMA = StructType([
+    StructField("buf", ArrayType(DoubleType())),
+])
+
+PCT_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("pct_rank", DoubleType()),
+])
+
+
+def percentile_update_and_score(
+    values: np.ndarray, buf: list[float], window: int
+) -> tuple[np.ndarray, list[float]]:
+    """dsio's rolling-window percentile detector [pub:dsio]: score each
+    value by its rank within the trailing window of PRIOR values
+    (score-then-update), state = the ring buffer. 0.5 while warming."""
+    out = np.empty(values.size, np.float64)
+    b = list(buf)
+    for i, x in enumerate(values):
+        if len(b) < 10:
+            out[i] = 0.5
+        else:
+            arr = np.asarray(b)
+            out[i] = float((arr < x).sum() + 0.5 * (arr == x).sum()) / len(b)
+        b.append(float(x))
+        if len(b) > window:
+            b = b[-window:]
+    return out, b
+
+
+def _pct_score_pdf(pdf: pd.DataFrame, buf: list[float], window: int):
+    pdf = pdf.sort_values(["ts", "event_id"])
+    ranks, buf = percentile_update_and_score(
+        pdf["value"].to_numpy(np.float64), buf, window)
+    out = pd.DataFrame({
+        "user_id": pdf["user_id"].to_numpy(),
+        "event_id": pdf["event_id"].to_numpy(),
+        "ts": pdf["ts"].to_numpy(),
+        "value": pdf["value"].to_numpy(np.float64),
+        "pct_rank": ranks,
+    })
+    return out, buf
+
+
+def percentile_stateful_stream(events: DataFrame, window: int = 100) -> DataFrame:
+    def fn(key, pdf_iter, state):
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            out, buf = _pct_score_pdf(pdf, buf, window)
+            yield out
+        state.update(([float(v) for v in buf],))
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, PCT_OUTPUT_SCHEMA, PCT_STATE_SCHEMA, "append", "NoTimeout")
+    )
+
+
+def percentile_batch(events: DataFrame, window: int = 100) -> DataFrame:
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out, _ = _pct_score_pdf(pdf, [], window)
+        return out
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fn, PCT_OUTPUT_SCHEMA)
+    )
+
+
+# dsio exposed pluggable detectors via --detector name + --modules file
+# [pub:dsio]; same shape here: name → (stream_fn, batch_fn, score_col)
+DETECTOR_REGISTRY: dict[str, tuple] = {
+    "gaussian": (zscore_stateful_stream, zscore_batch, "zscore"),
+    "percentile": (percentile_stateful_stream, percentile_batch, "pct_rank"),
+}
+
+
+def register_detector(name: str, stream_fn, batch_fn, score_col: str) -> None:
+    DETECTOR_REGISTRY[name] = (stream_fn, batch_fn, score_col)
+
+
+def load_detector_modules(paths: list[str]) -> None:
+    """dsio's --modules: import user python files that call
+    register_detector at import time."""
+    import importlib.util
+
+    for p in paths:
+        spec = importlib.util.spec_from_file_location(
+            f"user_detectors_{abs(hash(p))}", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)

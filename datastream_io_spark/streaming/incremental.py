@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from datastream_io_spark import B, K1
 from datastream_io_spark.operators import postings as P
-from datastream_io_spark.operators.build import SEGMENT_SCHEMA, _encode_run
+from datastream_io_spark.operators.build import SEGMENT_SCHEMA
 from datastream_io_spark.sources import manifest as M
 
 
@@ -106,10 +106,6 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     staged = staged.join(
         docs.select("doc_id", "split_id"), "doc_id"
     )
-    tfn = (F.col("tf") * F.lit(K1 + 1.0)) / (
-        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-    )
-    staged = staged.withColumn("tfn", tfn.cast("float"))
 
     # salt hot terms within each batch range (doc ids are contiguous per
     # batch, so pmod-free range salting again keeps runs disjoint)
@@ -143,13 +139,46 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
         list(SEGMENT_SCHEMA.fields) + [T.StructField("split_id", T.IntegerType())]
     )
 
-    def _encode_with_split(pdf):
-        out = _encode_run(pdf)
-        out["split_id"] = int(pdf["split_id"].iloc[0])
-        return out
+    def _encode_with_split(it):
+        # same change-point kernel as build._encode_partitions, with
+        # split_id as an extra group key + output column
+        import numpy as np
+        import pandas as pd
 
-    runs = staged.groupBy("term", "split_id", "salt").applyInPandas(
-        _encode_with_split, run_schema
+        from datastream_io_spark.operators.codec import encode_blocks
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            splits = pdf["split_id"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            ids = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["dl"].to_numpy()
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (splits[1:] != splits[:-1])
+                | (salts[1:] != salts[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            rows = []
+            for s, e in zip(starts, ends):
+                rows.append((
+                    terms[s], int(salts[s]), int(ids[s]), int(ids[e - 1]),
+                    int(e - s), int(tfs[s:e].sum()),
+                    encode_blocks(ids[s:e], tfs[s:e], dls[s:e]),
+                    int(splits[s]),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "term", "salt", "first_doc_id", "last_doc_id",
+                "df_run", "cf_run", "blocks", "split_id"])
+
+    runs = (
+        staged.select("term", "split_id", "salt", "doc_id", "tf", "dl")
+        .repartition(spark.sparkContext.defaultParallelism,
+                     "term", "split_id", "salt")
+        .sortWithinPartitions("term", "split_id", "salt", "doc_id")
+        .mapInPandas(_encode_with_split, run_schema)
     )
     merged = (
         runs.withColumn("term_bucket",

@@ -31,17 +31,42 @@ def main(argv: list[str]) -> int:
                    help="concurrent split jobs")
     p.add_argument("--drop-staged", action="store_true",
                    help="delete the staged corpus copy after finalize")
+    p.add_argument("--stage-only", action="store_true",
+                   help="phase A only — then fan segment work out to "
+                        "jobs/build_worker.py processes")
+    p.add_argument("--finalize-only", action="store_true",
+                   help="phase C only — after all workers finished")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from datastream_io_spark.operators.build import build_index, drop_staged_corpus
+    from datastream_io_spark.operators.build import (
+        build_index,
+        drop_staged_corpus,
+        finalize_index,
+        stage_corpus,
+    )
     from datastream_io_spark.sources.scan import scan_corpus
 
     # under spark-submit the session config comes from the submit command;
     # getOrCreate attaches to it rather than re-configuring
     spark = SparkSession.builder.appName("build_index").getOrCreate()
     corpus = scan_corpus(spark, args.src, args.fmt)
+    if args.stage_only:
+        info = stage_corpus(spark, corpus, args.out, args.splits,
+                            args.buckets, args.tokenizer)
+        print(f"staged: n_docs={info['n_docs']} splits={info['n_splits']}")
+        return 0
+    if args.finalize_only:
+        import json
+
+        with open(f"{args.out}/staging.json") as f:
+            info = json.load(f)
+        stats = finalize_index(spark, args.out, info,
+                               salt_threshold=args.salt_threshold,
+                               n_salts=args.salts)
+        print(f"finalized: n_docs={stats['n_docs']} avgdl={stats['avgdl']:.3f}")
+        return 0
     stats = build_index(
         spark, corpus, args.out,
         n_splits=args.splits, n_buckets=args.buckets,

@@ -30,21 +30,35 @@ def main(argv: list[str]) -> int:
     p.add_argument("--id-field", default="event_id")
     p.add_argument("--chunks", type=int, default=4,
                    help="micro-batches to replay the table as")
-    p.add_argument("--n-max", type=float, default=200.0,
-                   help="effective sample size cap (forgetting)")
+    p.add_argument("--detector", default="gaussian",
+                   help="registered detector name (gaussian | percentile | "
+                        "user-registered via --modules)")
+    p.add_argument("--modules", nargs="*", default=[],
+                   help="python files that register_detector() custom "
+                        "detectors (dsio --modules)")
     p.add_argument("--threshold", type=float, default=3.0,
-                   help="|z| above which a row is flagged anomalous")
+                   help="|score| above which a row is flagged anomalous")
     p.add_argument("--out", required=True, help="scored parquet sink dir")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from datastream_io_spark.streaming.detectors import zscore_stateful_stream
+    from datastream_io_spark.streaming.detectors import (
+        DETECTOR_REGISTRY,
+        load_detector_modules,
+    )
     from datastream_io_spark.streaming.restream import (
         read_restream,
         stage_restream,
     )
+
+    if args.modules:
+        load_detector_modules(args.modules)
+    if args.detector not in DETECTOR_REGISTRY:
+        raise SystemExit(f"unknown detector {args.detector!r}; "
+                         f"registered: {sorted(DETECTOR_REGISTRY)}")
+    stream_fn, _, score_col = DETECTOR_REGISTRY[args.detector]
 
     spark = SparkSession.builder.appName("restream").getOrCreate()
     src = spark.read.parquet(args.input).select(
@@ -56,8 +70,8 @@ def main(argv: list[str]) -> int:
     stage_dir = tempfile.mkdtemp(prefix="restream_stage_")
     schema = stage_restream(src, stage_dir, args.chunks, order_col="ts")
     stream = read_restream(spark, stage_dir, schema)
-    scored = zscore_stateful_stream(stream, n_max=args.n_max).withColumn(
-        "is_anomaly", F.abs(F.col("zscore")) > args.threshold)
+    scored = stream_fn(stream).withColumn(
+        "is_anomaly", F.abs(F.col(score_col)) > args.threshold)
 
     q = (scored.writeStream.format("parquet")
          .option("path", args.out)
@@ -70,10 +84,12 @@ def main(argv: list[str]) -> int:
     result = spark.read.parquet(args.out)
     n = result.count()
     n_anom = result.where("is_anomaly").count()
-    print(f"scored {n} rows, {n_anom} anomalies (|z| > {args.threshold}) "
+    print(f"scored {n} rows, {n_anom} anomalies "
+          f"(|{score_col}| > {args.threshold}, detector={args.detector}) "
           f"→ {args.out}")
-    result.where("is_anomaly").orderBy(F.desc(F.abs(F.col("zscore")))) \
-        .select("user_id", "event_id", "value", F.round("zscore", 3).alias("z")) \
+    result.where("is_anomaly").orderBy(F.desc(F.abs(F.col(score_col)))) \
+        .select("user_id", "event_id", "value",
+                F.round(score_col, 3).alias(score_col)) \
         .show(10, truncate=False)
     return 0
 

@@ -27,7 +27,7 @@ def test_varint_empty():
 def test_block_boundaries(n):
     ids = np.arange(n, dtype=np.int64) * 3 + 7
     tfs = (np.arange(n, dtype=np.int64) % 50) + 1
-    blocks = encode_blocks(ids, tfs, np.ones(n, np.float32))
+    blocks = encode_blocks(ids, tfs, np.ones(n, np.int64))
     di, dt = decode_blocks(blocks)
     assert np.array_equal(di, ids)
     assert np.array_equal(dt, tfs)
@@ -44,17 +44,18 @@ def test_random_gap_distributions():
         gaps = rng.integers(1, hi + 1, size=n).astype(np.int64)
         ids = np.cumsum(gaps)
         tfs = rng.integers(1, 10_000, size=n).astype(np.int64)
-        tfns = rng.random(n).astype(np.float32)
-        blocks = encode_blocks(ids, tfs, tfns)
+        dls = rng.integers(1, 5_000, size=n).astype(np.int64)
+        blocks = encode_blocks(ids, tfs, dls)
         di, dt = decode_blocks(blocks)
         assert np.array_equal(di, ids)
         assert np.array_equal(dt, tfs)
-        # block maxima are true maxima (WAND correctness depends on this)
+        # block bounds are true extrema (WAND correctness depends on this:
+        # tfn is increasing in tf, decreasing in dl)
         off = 0
         for b in blocks:
             sl = slice(off, off + b["n"])
             assert b["max_tf"] == tfs[sl].max()
-            assert b["max_tfn"] == pytest.approx(float(tfns[sl].max()), rel=1e-6)
+            assert b["min_dl"] == dls[sl].min()
             assert b["max_doc_id"] == ids[sl][-1]
             off += b["n"]
 
@@ -63,6 +64,6 @@ def test_compression_is_compact():
     # dense doc ids (delta=1) must take ~1 byte per posting for docs
     ids = np.arange(10_000, dtype=np.int64)
     tfs = np.ones(10_000, np.int64)
-    blocks = encode_blocks(ids, tfs, np.ones(10_000, np.float32))
+    blocks = encode_blocks(ids, tfs, np.ones(10_000, np.int64))
     total = sum(len(b["docs"]) + len(b["tfs"]) for b in blocks)
     assert total < 10_000 * 2.1

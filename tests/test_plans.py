@@ -1,0 +1,101 @@
+"""Physical-plan assertions (SURVEY.md §4): the layouts and hints this
+engine chose must actually show up in the executed plan — bucket
+partition pruning, parquet filter pushdown, TakeOrderedAndProject
+top-k, broadcast dimension joins, whole-stage codegen on the scoring
+arithmetic."""
+
+import hypothesis.strategies as st
+import numpy as np
+from hypothesis import given, settings
+from pyspark.sql import functions as F
+
+from datastream_io_spark.operators.codec import (
+    decode_blocks,
+    encode_blocks,
+    varint_decode,
+    varint_encode,
+)
+from datastream_io_spark.plans import plan_summary, scan_info
+from tests.conftest import SF0001, load_table
+
+
+def test_postings_scan_prunes_buckets_and_pushes_term(spark, doc_index):
+    post = spark.read.parquet(f"{doc_index}/postings")
+    q = post.where(F.col("term_bucket").isin([1, 3])
+                   & F.col("term").isin(["window", "agg"]))
+    scans = scan_info(q)
+    assert scans, "no FileScan found"
+    assert "term_bucket" in scans[0]["PartitionFilters"]
+    assert "term" in scans[0]["PushedFilters"]
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, doc_index):
+    from datastream_io_spark.operators.indexed_search import search_indexed
+
+    topk = search_indexed(spark, doc_index, "window agg", 10, "and")
+    s = plan_summary(topk)
+    assert s["take_ordered"], "top-k compiled to a global sort"
+
+
+def test_dim_join_is_broadcast(spark):
+    c = load_table(spark, SF0001, "customer")
+    n = load_table(spark, SF0001, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert plan_summary(j)["n_broadcast_joins"] >= 1
+
+
+def test_scoring_math_is_codegen(spark, documents):
+    from datastream_io_spark.functions.bm25 import idf_col, tf_norm_col
+
+    scored = documents.select(
+        (idf_col(F.col("doc_id").cast("double"), 500)
+         * tf_norm_col(F.col("n_chars").cast("double"),
+                       F.col("doc_id").cast("double"), 55.0)).alias("x"))
+    s = plan_summary(scored)
+    assert s["whole_stage_codegen"]
+    # and the constant-only variant folds to a literal at optimization
+    folded = documents.select(
+        (idf_col(F.lit(10.0), 500)
+         * tf_norm_col(F.lit(3.0), F.lit(50.0), 55.0)).alias("x"))
+    from datastream_io_spark.plans import executed_plan
+    assert "6.19460" in executed_plan(folded)  # Catalyst constant folding
+
+
+def test_content_column_pruned_on_query_path(spark, doc_index):
+    """The query path must never read posting 'blocks' it doesn't need —
+    dict lookups read only dict columns."""
+    d = spark.read.parquet(f"{doc_index}/dict").select("term", "idf")
+    rs = scan_info(d)[0]["ReadSchema"]
+    assert "idf" in rs and "cf" not in rs
+
+
+# --- hypothesis property tests for the codec (C2/C3) ---
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=0, max_size=300))
+def test_varint_roundtrip_property(vals):
+    v = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(v), v.size), v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=2**40),
+             min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=2**20),
+)
+def test_block_roundtrip_property(gaps, tf_hi):
+    ids = np.cumsum(np.array(gaps, dtype=np.int64))
+    rng = np.random.default_rng(ids[-1] % (2**32))
+    tfs = rng.integers(1, tf_hi + 1, size=ids.size).astype(np.int64)
+    dls = rng.integers(1, 10_000, size=ids.size).astype(np.int64)
+    blocks = encode_blocks(ids, tfs, dls)
+    di, dt = decode_blocks(blocks)
+    assert np.array_equal(di, ids)
+    assert np.array_equal(dt, tfs)
+    off = 0
+    for b in blocks:
+        assert b["max_doc_id"] == ids[off:off + b["n"]][-1]
+        assert b["max_tf"] == tfs[off:off + b["n"]].max()
+        off += b["n"]

@@ -38,7 +38,7 @@ def test_kill_and_resume(spark, tmp_path):
     # record staged-tf mtimes: resume must NOT rebuild completed splits
     done_before = sorted(done_splits(broken))
     mtimes = {
-        s: os.path.getmtime(os.path.join(broken, "tf_staged", f"split_{s:04d}"))
+        s: os.path.getmtime(os.path.join(broken, "segments", f"split_{s:04d}"))
         for s in done_before
     }
 
@@ -47,7 +47,7 @@ def test_kill_and_resume(spark, tmp_path):
     assert done_splits(broken) == {0, 1, 2, 3}
     for s in done_before:
         assert os.path.getmtime(
-            os.path.join(broken, "tf_staged", f"split_{s:04d}")) == mtimes[s]
+            os.path.join(broken, "segments", f"split_{s:04d}")) == mtimes[s]
 
     build_index(spark, corpus, clean, n_splits=4, n_buckets=4,
                 tokenizer="simple")
@@ -60,11 +60,11 @@ def test_rerun_is_noop_for_segments(spark, tmp_path):
     build_index(spark, corpus, idx, n_splits=2, n_buckets=4, tokenizer="simple")
     before = _index_fingerprint(spark, idx)
     mtimes = {
-        s: os.path.getmtime(os.path.join(idx, "tf_staged", f"split_{s:04d}"))
+        s: os.path.getmtime(os.path.join(idx, "segments", f"split_{s:04d}"))
         for s in range(2)
     }
     build_index(spark, corpus, idx, n_splits=2, n_buckets=4, tokenizer="simple")
     for s in range(2):
         assert os.path.getmtime(
-            os.path.join(idx, "tf_staged", f"split_{s:04d}")) == mtimes[s]
+            os.path.join(idx, "segments", f"split_{s:04d}")) == mtimes[s]
     assert _index_fingerprint(spark, idx) == before

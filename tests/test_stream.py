@@ -172,6 +172,46 @@ def test_incremental_index_foreachbatch(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/docs_staged/batch_*").count() == before
 
 
+def test_percentile_detector_stream_equals_batch(spark, events, event_stream_dir):
+    """ST7b — rolling-percentile detector (dsio's second built-in):
+    stream with state carry-over ≡ batch full-history pass."""
+    from datastream_io_spark.streaming.detectors import (
+        percentile_batch,
+        percentile_stateful_stream,
+    )
+
+    d, schema = event_stream_dir
+    stream = read_restream(spark, d, schema)
+    got = _run_stream(spark, percentile_stateful_stream(stream, window=50),
+                      "append").toPandas()
+    want = percentile_batch(events, window=50).toPandas()
+    key = ["user_id", "ts", "event_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["pct_rank"] - want["pct_rank"]).abs().max() < 1e-12
+    # ranks live in [0, 1] and actually spread
+    assert got["pct_rank"].between(0, 1).all()
+    assert got["pct_rank"].nunique() > 10
+
+
+def test_detector_registry_and_plugins(tmp_path):
+    from datastream_io_spark.streaming.detectors import (
+        DETECTOR_REGISTRY,
+        load_detector_modules,
+    )
+
+    assert {"gaussian", "percentile"} <= set(DETECTOR_REGISTRY)
+    plugin = tmp_path / "my_detector.py"
+    plugin.write_text(
+        "from datastream_io_spark.streaming.detectors import "
+        "register_detector\n"
+        "register_detector('custom_null', lambda df: df, lambda df: df, "
+        "'value')\n")
+    load_detector_modules([str(plugin)])
+    assert "custom_null" in DETECTOR_REGISTRY
+
+
 def test_zscore_reference_forgetting():
     """dsio update_formulae semantics: capped effective sample size →
     the running mean tracks a level shift instead of freezing."""
