@@ -285,10 +285,26 @@ def _wand_topk(spark, index_dir, idf, buckets, dl_b, avgdl, n_terms, k,
         F.col("term_bucket").isin(buckets) & F.col("term").isin(found_terms)
     ).select("split_id", "term", "blocks")
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _wand_split(pdf, idf, dl_b, avgdl, k, mode, n_terms)
+    if len(found_terms) == 1 and n_terms == 1:
+        # single-term fast path: no cross-term alignment needed, so skip
+        # the per-split shuffle — score each posting row where it is
+        # scanned (mapInPandas straight over the bucket-pruned scan)
+        def kernel1(it):
+            for pdf in it:
+                outs = [
+                    _wand_split(pdf.iloc[[i]], idf, dl_b, avgdl, k, mode, 1)
+                    for i in range(len(pdf))
+                ]
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
 
-    cand = prows.groupBy("split_id").applyInPandas(kernel, "doc_id long, score double")
+        cand = prows.mapInPandas(kernel1, "doc_id long, score double")
+    else:
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _wand_split(pdf, idf, dl_b, avgdl, k, mode, n_terms)
+
+        cand = prows.groupBy("split_id").applyInPandas(
+            kernel, "doc_id long, score double")
     topk = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_doc_cols:
         docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
