@@ -266,12 +266,14 @@ def q_rollup_metrics(spark, sf_dir):
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
         _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.grouping_id().alias("gid"),
     )
 
 
 o_rollup_metrics = (
     "SELECT l_returnflag, l_linestatus, count(*) AS n, "
-    "CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, "
+    "GROUPING(l_returnflag, l_linestatus) AS gid "
     "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
 )
 
@@ -564,13 +566,18 @@ def q_array_ops_extended(spark, sf_dir):
     """§2.9 array tier #2: sort_array / slice / arrays_zip / transform /
     array_distinct over the tokenized documents."""
     tok = _doc_tokens(spark, sf_dir)
+    # array-typed outputs are serialized with concat_ws so the driver's
+    # pandas canonicalizer (sort_values + value hash) can handle them —
+    # list cells are unhashable in pandas (CORRECTNESS_r01 ERR row)
     return tok.select(
         "doc_id",
         F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
-        F.slice(F.sort_array("tokens"), 1, 3).alias("first3_sorted"),
+        F.concat_ws(" ", F.slice(F.sort_array("tokens"), 1, 3))
+        .alias("first3_sorted"),
         F.size(F.filter("tokens", lambda t: F.length(t) > 5))
         .cast("long").alias("n_long_tokens"),
-        F.transform(F.slice("tokens", 1, 2), lambda t: F.upper(t))
+        F.concat_ws(" ", F.transform(F.slice("tokens", 1, 2),
+                                     lambda t: F.upper(t)))
         .alias("first2_upper"),
     )
 
@@ -583,9 +590,9 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
-       list_sort(tokens)[1:3] AS first3_sorted,
+       array_to_string(list_sort(tokens)[1:3], ' ') AS first3_sorted,
        CAST(len(list_filter(tokens, t -> length(t) > 5)) AS BIGINT) AS n_long_tokens,
-       list_transform(tokens[1:2], t -> upper(t)) AS first2_upper
+       array_to_string(list_transform(tokens[1:2], t -> upper(t)), ' ') AS first2_upper
 FROM tok
 """
 
@@ -638,7 +645,8 @@ def q_json_funcs(spark, sf_dir):
 
 
 o_json_funcs = """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """
