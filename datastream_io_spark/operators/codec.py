@@ -23,6 +23,14 @@ into blocks of ≤128 doc ids; per block we store
     docs         : binary  varint deltas of doc_ids[1:] (doc_ids[0] ==
                            first_doc_id); strictly positive
     tfs          : binary  varint tfs (n values)
+    dls          : binary  varint doc_lens (n values) — per-POSTING doc
+                           length so BM25 needs no side lookup at query
+                           time: the old design broadcast an int32
+                           dl array built from a driver-side
+                           ``docs.toPandas()``, which dies past ~10^9
+                           docs; storing dl next to tf keeps the query
+                           path executor-local at any corpus size for
+                           ~1 extra varint byte per posting
 
 Everything is numpy-vectorized (no per-row Python): encode loops only
 over byte-positions (≤10), decode has a fast path for the dominant
@@ -110,6 +118,8 @@ def encode_blocks(
                 "min_dl": int(dls[s:e].min()),
                 "docs": varint_encode(deltas),
                 "tfs": varint_encode(tfs[s:e].astype(np.uint64)),
+                "dls": varint_encode(
+                    np.ascontiguousarray(dls[s:e], np.int64).astype(np.uint64)),
             }
         )
     return blocks
@@ -130,6 +140,10 @@ def decode_block_docs(block) -> np.ndarray:
 
 def decode_block_tfs(block) -> np.ndarray:
     return varint_decode(block["tfs"], block["n"]).astype(np.int64)
+
+
+def decode_block_dls(block) -> np.ndarray:
+    return varint_decode(block["dls"], block["n"]).astype(np.int64)
 
 
 def decode_blocks(blocks) -> tuple[np.ndarray, np.ndarray]:

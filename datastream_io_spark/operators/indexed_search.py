@@ -9,30 +9,40 @@ doc_id range. A query fans out as
       — partition pruning on the ``term_bucket=K`` directory layout
         means only |q| of B bucket directories are even listed
   → ``applyInPandas`` per split (Q7): vectorized block-skip
-      intersection (AND) / block-max upper-bound two-phase scoring (OR)
+      intersection (AND) / block-max decode-skipping scoring (OR)
       emitting ≤k exact-scored candidates per split
   → global top-k (Q6): ``orderBy(score desc, doc_id asc).limit(k)``
       → physical TakeOrderedAndProject (no global sort)
   → optional broadcast join back to docs/ for display columns (J1).
 
-Block-max usage (Ding & Suel, SIGIR 2011, adapted to vectorized batch
-execution): each block stores (max_tf, min_dl); since BM25's
-tf-normalization is increasing in tf and decreasing in dl, the block's
-score upper bound is ``idf(t) * tfn(max_tf, min_dl, avgdl)``, computed
-at query time. The OR path decodes doc ids only, accumulates
-per-doc upper bounds, exact-scores the top-k-by-bound to establish θ,
-and then exact-scores only survivors (bound ≥ θ) — docs below θ are
-never tf-decoded or scored. The AND path uses ``[first_doc_id,
-max_doc_id]`` to skip whole blocks that cannot contain any candidate of
-the rarest term. Both paths compute EXACT BM25 for everything they emit
-and sum per-term contributions in sorted term order, so results are
-rank- and score-identical to the relational path and the brute-force
-golden scorer at every parallelism level (BASELINE.json:14).
+Block-max usage (Ding & Suel, SIGIR 2011 / Turtle & Flood MaxScore,
+adapted to vectorized batch execution): each block stores
+(max_tf, min_dl); since BM25's tf-normalization is increasing in tf and
+decreasing in dl, the block's score upper bound is
+``idf(t) * tfn(max_tf, min_dl, avgdl)``, computed at query time.
 
-Per-doc doc_len is served from a broadcast int32 array indexed by the
-dense doc_id (fine up to ~10^9 docs / executor-memory limits; at 10^12
-the scale path stores a quantized per-posting impact instead — noted as
-a deliberate sandbox simplification).
+The OR path NEVER decodes blocks it can prove irrelevant:
+  1. seed — decode each term's single highest-bound block, exact-score
+     that union, θ = kth exact score (0 if fewer than k docs seen);
+  2. greedy selection — maintain U[t] = highest bound among t's
+     still-undecoded blocks; while Σ_t U[t] ≥ θ decode the globally
+     highest-bound undecoded block. On exit, ANY doc living only in
+     undecoded blocks has score ≤ Σ_t U[t] < θ — safe to never touch.
+  3. filter — per-doc upper bound from decoded block bounds + the
+     Σ U[t] slack; survivors (UB ≥ θ) are exact-scored, everything
+     else is dropped without tf/dl decode.
+The AND path uses ``[first_doc_id, max_doc_id]`` to skip whole blocks
+that cannot contain any candidate of the rarest term. Both paths
+compute EXACT BM25 for everything they emit and sum per-term
+contributions in sorted term order, so results are rank- and
+score-identical to the relational path and the brute-force golden
+scorer at every parallelism level (BASELINE.json:14).
+
+Per-posting doc_len travels INSIDE the blocks (codec.py ``dls``), so
+scoring is executor-local at any corpus size — there is no driver-side
+materialization of the docs table anywhere on the query path (the old
+design broadcast an int32 dl array built via ``docs.toPandas()``,
+capped at ~10^9 docs and stale-prone across rebuilds).
 """
 
 from __future__ import annotations
@@ -47,20 +57,18 @@ from pyspark.sql import functions as F
 from datastream_io_spark import B, K1
 from datastream_io_spark.operators.build import read_stats
 from datastream_io_spark.operators.codec import (
+    decode_block_dls,
     decode_block_docs,
     decode_block_tfs,
 )
 from datastream_io_spark.operators.relational_search import parse_query
 
-# per-index caches (driver-side): doc-length broadcast + stats
-_DL_CACHE: dict[str, object] = {}
-
 
 class Searcher:
-    """Warm query handle over a built index: stats, the dictionary, and
-    the doc-length broadcast are loaded once, so each query costs ONE
-    Spark job (bucket-pruned postings scan → per-split WAND → top-k)
-    plus an optional broadcast join for display columns.
+    """Warm query handle over a built index: stats and the dictionary
+    are loaded once, so each query costs ONE Spark job (bucket-pruned
+    postings scan → per-split WAND → top-k) plus an optional broadcast
+    join for display columns.
 
     ``dict_cache='driver'`` pulls the dictionary into driver memory —
     right up to ~10^7 terms. Beyond that (10^12-file corpora), pass
@@ -74,7 +82,6 @@ class Searcher:
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
-        self.dl_b = _dl_broadcast(spark, index_dir)
         self._dict_pdf = None
         if dict_cache == "driver":
             self._dict_pdf = (
@@ -107,37 +114,27 @@ class Searcher:
         idf = {r["term"]: float(r["idf"]) for r in rows}
         buckets = sorted({int(r["term_bucket"]) for r in rows})
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
-                          self.dl_b, float(self.stats["avgdl"]),
+                          float(self.stats["avgdl"]),
                           len(terms), k, mode, with_doc_cols)
 
 
-def _dl_broadcast(spark: SparkSession, index_dir: str):
-    key = os.path.abspath(index_dir)
-    if key not in _DL_CACHE:
-        pdf = (
-            spark.read.parquet(os.path.join(index_dir, "docs"))
-            .select("doc_id", "dl")
-            .toPandas()
-        )
-        arr = np.zeros(int(pdf["doc_id"].max()) + 1 if len(pdf) else 0, np.int32)
-        arr[pdf["doc_id"].to_numpy()] = pdf["dl"].to_numpy()
-        _DL_CACHE[key] = spark.sparkContext.broadcast(arr)
-    return _DL_CACHE[key]
-
-
-def _tfn(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+def _tfn(tf, dl, avgdl: float):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+def _block_bound(idf_t: float, block, avgdl: float) -> float:
+    return idf_t * _tfn(float(block["max_tf"]), float(block["min_dl"]), avgdl)
+
+
 def _exact_scores(cand: np.ndarray, term_rows: list, idf: dict[str, float],
-                  dl: np.ndarray, avgdl: float,
-                  decoded: dict) -> np.ndarray:
+                  avgdl: float, decoded: dict) -> np.ndarray:
     """Exact BM25 of ``cand`` (sorted doc ids) summed over terms in
-    sorted term order (float determinism)."""
+    sorted term order (float determinism). Only blocks whose doc-id
+    range overlaps a candidate are decoded; per-posting dl rides in the
+    block (no side lookup). ``decoded`` caches (ids, tfs, dls) tuples
+    keyed by (term, block_index) — tfs/dls decoded lazily."""
     scores = np.zeros(cand.size, np.float64)
-    dls = dl[cand].astype(np.float64)
     for term, blocks in sorted(term_rows, key=lambda r: r[0]):
-        # decode only blocks overlapping candidates
         firsts = np.fromiter((b["first_doc_id"] for b in blocks), np.int64)
         maxs = np.fromiter((b["max_doc_id"] for b in blocks), np.int64)
         lo = np.searchsorted(cand, firsts)
@@ -145,37 +142,114 @@ def _exact_scores(cand: np.ndarray, term_rows: list, idf: dict[str, float],
         need = np.flatnonzero(hi > lo)
         if need.size == 0:
             continue
-        ids_parts, tfs_parts = [], []
+        ids_parts, tfs_parts, dls_parts = [], [], []
         for j in need:
             ck = (term, int(j))
             if ck not in decoded or decoded[ck][1] is None:
-                d_prev = decoded[ck][0] if ck in decoded else decode_block_docs(blocks[j])
-                decoded[ck] = (d_prev, decode_block_tfs(blocks[j]))
-            d, t = decoded[ck]
+                d_prev = decoded[ck][0] if ck in decoded else \
+                    decode_block_docs(blocks[j])
+                decoded[ck] = (d_prev, decode_block_tfs(blocks[j]),
+                               decode_block_dls(blocks[j]))
+            d, t, l = decoded[ck]
             ids_parts.append(d)
             tfs_parts.append(t)
+            dls_parts.append(l)
         ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tfs_parts)
+        dls = np.concatenate(dls_parts)
         pos = np.searchsorted(ids, cand)
         pos_c = np.minimum(pos, ids.size - 1)
         found = ids[pos_c] == cand
         if not found.any():
             continue
         tf_c = tfs[pos_c[found]].astype(np.float64)
-        scores[found] += idf[term] * _tfn(tf_c, dls[found], avgdl)
+        dl_c = dls[pos_c[found]].astype(np.float64)
+        scores[found] += idf[term] * _tfn(tf_c, dl_c, avgdl)
     return scores
 
 
-def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], dl_b, avgdl: float,
+def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
+                   k: int, decoded: dict) -> np.ndarray:
+    """Decode-skipping candidate generation for disjunctive queries.
+    Returns the sorted doc ids whose exact score can reach the top-k
+    threshold; blocks that provably cannot matter are never decoded."""
+    # per-term block bounds, descending
+    per_term: dict[str, np.ndarray] = {}
+    order: dict[str, np.ndarray] = {}
+    for term, blocks in term_rows:
+        bnds = np.array([_block_bound(idf[term], b, avgdl) for b in blocks],
+                        np.float64)
+        o = np.argsort(-bnds, kind="stable")
+        per_term[term] = bnds
+        order[term] = o
+    ptr = {term: 0 for term, _ in term_rows}  # decoded prefix per term
+    blocks_of = dict(term_rows)
+
+    def decode_next(term: str):
+        j = int(order[term][ptr[term]])
+        ptr[term] += 1
+        ck = (term, j)
+        if ck not in decoded:
+            decoded[ck] = (decode_block_docs(blocks_of[term][j]), None, None)
+        return j
+
+    # --- seed: each term's single best block → θ from exact top-k
+    for term, _ in term_rows:
+        decode_next(term)
+    seed_ids = np.unique(np.concatenate(
+        [decoded[ck][0] for ck in decoded]))
+    if seed_ids.size >= k:
+        seed_scores = _exact_scores(seed_ids, term_rows, idf, avgdl, decoded)
+        theta = np.partition(seed_scores, seed_scores.size - k)[
+            seed_scores.size - k]
+    else:
+        theta = 0.0
+
+    # --- greedy: decode globally-best undecoded blocks until the sum of
+    # per-term residual maxima drops below θ (then no untouched doc can
+    # reach the top-k)
+    def residual(term: str) -> float:
+        return (per_term[term][order[term][ptr[term]]]
+                if ptr[term] < order[term].size else 0.0)
+
+    U = {term: residual(term) for term, _ in term_rows}
+    while sum(U.values()) >= theta and theta > 0.0:
+        t_star = max(U, key=U.get)
+        if U[t_star] <= 0.0:
+            break
+        decode_next(t_star)
+        U[t_star] = residual(t_star)
+    if theta == 0.0:  # fewer than k docs seen in seed: decode everything
+        for term, _ in term_rows:
+            while ptr[term] < order[term].size:
+                decode_next(term)
+        U = {term: 0.0 for term, _ in term_rows}
+
+    # --- per-doc upper bound over decoded blocks + global slack
+    ids_all, ub_all = [], []
+    for term, blocks in term_rows:
+        for j in order[term][: ptr[term]]:
+            d = decoded[(term, int(j))][0]
+            ids_all.append(d)
+            ub_all.append(np.full(d.size, per_term[term][int(j)], np.float64))
+    ids_cat = np.concatenate(ids_all)
+    ub_cat = np.concatenate(ub_all)
+    o = np.argsort(ids_cat, kind="stable")
+    uids, starts = np.unique(ids_cat[o], return_index=True)
+    ub = np.add.reduceat(ub_cat[o], starts)
+    slack = sum(U.values())
+    return uids[ub + slack >= theta] if theta > 0.0 else uids
+
+
+def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k: int, mode: str, n_terms: int) -> pd.DataFrame:
     """Q7 kernel: one document-range split → ≤k exact-scored candidates."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
-    dl = dl_b.value
     term_rows = [(r.term, list(r.blocks)) for r in pdf.itertuples()]
     decoded: dict = {}
 
-    if mode == "and":
+    if mode == "and" and n_terms > 1:
         if len(term_rows) < n_terms:
             return empty
         # intersect starting from the rarest term; block-skip the rest
@@ -197,36 +271,12 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], dl_b, avgdl: float,
             cand = cand[ids[pos_c] == cand]
         if cand.size == 0:
             return empty
-        scores = _exact_scores(cand, term_rows, idf, dl, avgdl, decoded)
     else:
-        # OR: block-max two-phase. Phase 1 — upper bounds from block maxima.
-        ids_all, ub_all = [], []
-        for term, blocks in term_rows:
-            w = idf[term]
-            for j, b in enumerate(blocks):
-                d = decode_block_docs(b)
-                decoded[(term, j)] = (d, None)  # tfs decoded lazily on demand
-                ids_all.append(d)
-                bound = w * _tfn(float(b["max_tf"]), float(b["min_dl"]), avgdl)
-                ub_all.append(np.full(d.size, bound, np.float64))
-        ids_cat = np.concatenate(ids_all)
-        ub_cat = np.concatenate(ub_all)
-        order = np.argsort(ids_cat, kind="stable")
-        ids_sorted = ids_cat[order]
-        uids, starts = np.unique(ids_sorted, return_index=True)
-        ub = np.add.reduceat(ub_cat[order], starts)
-        if uids.size <= k:
-            cand = uids
-            scores = _exact_scores(cand, term_rows, idf, dl, avgdl, decoded)
-        else:
-            # θ from exact scores of the top-k by upper bound
-            top_by_ub = np.argpartition(-ub, k - 1)[:k]
-            seed = np.sort(uids[top_by_ub])
-            seed_scores = _exact_scores(seed, term_rows, idf, dl, avgdl, decoded)
-            theta = np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k]
-            survivors = ub >= theta  # docs below θ can never enter top-k
-            cand = uids[survivors]
-            scores = _exact_scores(cand, term_rows, idf, dl, avgdl, decoded)
+        # OR (and single-term AND ≡ OR): decode-skipping block-max
+        cand = _or_candidates(term_rows, idf, avgdl, k, decoded)
+        if cand.size == 0:
+            return empty
+    scores = _exact_scores(cand, term_rows, idf, avgdl, decoded)
 
     m = min(k, cand.size)
     if cand.size > 4 * k:
@@ -271,13 +321,12 @@ def search_indexed(
         return spark_empty
     idf = {r["term"]: float(r["idf"]) for r in dict_rows}
     buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
-    dl_b = _dl_broadcast(spark, index_dir)
-    return _wand_topk(spark, index_dir, idf, buckets, dl_b,
+    return _wand_topk(spark, index_dir, idf, buckets,
                       float(stats["avgdl"]), len(terms), k, mode,
                       with_doc_cols)
 
 
-def _wand_topk(spark, index_dir, idf, buckets, dl_b, avgdl, n_terms, k,
+def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
                mode, with_doc_cols):
     found_terms = sorted(idf)
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -292,7 +341,7 @@ def _wand_topk(spark, index_dir, idf, buckets, dl_b, avgdl, n_terms, k,
         def kernel1(it):
             for pdf in it:
                 outs = [
-                    _wand_split(pdf.iloc[[i]], idf, dl_b, avgdl, k, mode, 1)
+                    _wand_split(pdf.iloc[[i]], idf, avgdl, k, mode, 1)
                     for i in range(len(pdf))
                 ]
                 if outs:
@@ -301,7 +350,7 @@ def _wand_topk(spark, index_dir, idf, buckets, dl_b, avgdl, n_terms, k,
         cand = prows.mapInPandas(kernel1, "doc_id long, score double")
     else:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _wand_split(pdf, idf, dl_b, avgdl, k, mode, n_terms)
+            return _wand_split(pdf, idf, avgdl, k, mode, n_terms)
 
         cand = prows.groupBy("split_id").applyInPandas(
             kernel, "doc_id long, score double")

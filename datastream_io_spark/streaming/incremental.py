@@ -30,23 +30,17 @@ from datastream_io_spark.operators.build import SEGMENT_SCHEMA
 from datastream_io_spark.sources import manifest as M
 
 
-def _counter_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "doc_id_counter.json")
-
-
-def _read_counter(index_dir: str) -> int:
-    p = _counter_path(index_dir)
-    if not os.path.exists(p):
-        return 0
-    with open(p) as f:
-        return json.load(f)["next_doc_id"]
-
-
-def _write_counter(index_dir: str, value: int) -> None:
-    tmp = _counter_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"next_doc_id": value}, f)
-    os.replace(tmp, _counter_path(index_dir))
+def _next_doc_id(index_dir: str) -> int:
+    """Derive the dense-id watermark from the DONE batch manifests (the
+    single atomic write per batch). A separate counter file advanced
+    before the manifest left a crash window where foreachBatch
+    redelivery reran a batch at a shifted offset, permanently breaking
+    the dense-id invariant."""
+    hi = 0
+    for b in M.done_splits(index_dir):
+        m = M.read_split_manifest(index_dir, b)
+        hi = max(hi, int(m["doc_id_offset"]) + int(m["n_docs"]))
+    return hi
 
 
 def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
@@ -57,7 +51,7 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     if M.read_split_manifest(index_dir, batch_id) is not None:
         return
     os.makedirs(index_dir, exist_ok=True)
-    offset = _read_counter(index_dir)
+    offset = _next_doc_id(index_dir)
 
     from pyspark.sql import Window
 
@@ -81,7 +75,6 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         os.path.join(index_dir, "tf_staged", f"batch_{batch_id:04d}"))
 
     n_docs = docs.count()
-    _write_counter(index_dir, offset + n_docs)
     M.write_split_manifest(index_dir, batch_id, {
         "n_docs": int(n_docs),
         "doc_id_offset": offset,
@@ -96,13 +89,20 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
                           n_salts: int = 8) -> dict:
     """Compact staged batches into the standard searchable index layout
     (docs/, stats.json, postings/term_bucket=K/, dict/)."""
-    docs = spark.read.parquet(os.path.join(index_dir, "docs_staged", "batch_*"))
+    def _batch_dirs(sub: str) -> list[str]:
+        root = os.path.join(index_dir, sub)
+        # explicit dir list, not a glob — glob paths trigger a spurious
+        # FileStreamSink metadata-probe stack trace in the logs
+        return sorted(os.path.join(root, d) for d in os.listdir(root)
+                      if d.startswith("batch_"))
+
+    docs = spark.read.parquet(*_batch_dirs("docs_staged"))
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
     row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"])
 
-    staged = spark.read.parquet(os.path.join(index_dir, "tf_staged", "batch_*"))
+    staged = spark.read.parquet(*_batch_dirs("tf_staged"))
     staged = staged.join(
         docs.select("doc_id", "split_id"), "doc_id"
     )

@@ -84,7 +84,7 @@ def test_manifest_metrics_match_recount(spark, doc_index):
     recount = spark.read.parquet(f"{doc_index}/postings").agg(
         F.sum(F.aggregate("blocks", F.lit(0).cast("long"),
                           lambda acc, b: acc + F.length(b["docs"])
-                          + F.length(b["tfs"])))
+                          + F.length(b["tfs"]) + F.length(b["dls"])))
     ).collect()[0][0]
     assert merge["compressed_bytes"] == recount > 0
 
