@@ -845,17 +845,23 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    """rows-only: IVF-bucketed approximate top-10 (recall vs brute
-    force asserted in tests)."""
+    """rows-only: IVF-bucketed approximate top-10 answered from the
+    PERSISTED partitioned index — the scan lists only the nprobe probed
+    ``cluster=K`` directories (PartitionFilters, plan-asserted in
+    tests/test_ann_index.py), which is the 100-TB path. Recall vs brute
+    force is asserted in tests."""
     from datastream_io_spark.operators.dataprep import (
-        ivf_topk,
+        build_ann_index,
+        search_ann_index,
         train_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_clusters=8, n_iters=5)
+    idx = tempfile.mkdtemp(prefix="dq_ann_")
+    build_ann_index(emb, idx, cents)
     q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ivf_topk(emb, cents, [float(v) for v in q], k=10, nprobe=3)
+    return search_ann_index(spark, idx, [float(v) for v in q], k=10, nprobe=3)
 
 
 def q_multimodal_features(spark, sf_dir):

@@ -59,7 +59,7 @@ Index layout (consumed by indexed_search / streaming finalize alike):
   docs/        doc_id, repo, path, commit, lang, dl, content_sha256, split_id
   stats.json   n_docs, avgdl, n_splits, n_buckets, tokenizer, k1, b
   postings/term_bucket=K/     term, split_id, df, cf, first/last_doc_id, blocks
-  dict/        term, term_bucket, df, cf, idf
+  dict/term_bucket=K/         term, df, cf, idf
   manifest/merge.json         global metrics (compressed_bytes, n_terms, …)
 """
 
@@ -146,7 +146,17 @@ def stage_corpus(
             return json.load(f)
     os.makedirs(index_dir, exist_ok=True)
 
-    deduped = corpus.dropDuplicates(["repo", "path", "commit"])
+    # deterministic survivor per doc key: dropDuplicates keeps an
+    # ARBITRARY row, so duplicate keys with different content would make
+    # the staged bytes (hence the whole index) vary across parallelism —
+    # pick max(content_sha256) instead (any total order works)
+    hashed = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    w_dedup = Window.partitionBy("repo", "path", "commit").orderBy(
+        F.desc("content_sha256"))
+    deduped = (
+        hashed.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1).drop("_rn")
+    )
     with_split = deduped.withColumn("split_id", _doc_key_split(n_splits))
     counts = {
         int(r["split_id"]): int(r["n"])
@@ -164,7 +174,6 @@ def stage_corpus(
     staged = (
         with_split
         .withColumn("doc_id", offset_col + F.row_number().over(w).cast("long") - 1)
-        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
         .select("split_id", "doc_id", "repo", "path", "commit", "lang",
                 "content_sha256", "content")
     )
@@ -417,7 +426,11 @@ def finalize_index(
         F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)).alias("idf"),
     )
-    dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dict"))
+    # partitioned on term_bucket so query-time dict lookups list only
+    # the buckets of the query terms (bucket computable driver-side via
+    # functions.xxhash.term_bucket — bit-identical to F.xxhash64)
+    (dictionary.repartition("term_bucket").write.mode("overwrite")
+     .partitionBy("term_bucket").parquet(os.path.join(index_dir, "dict")))
 
     # docs/: staged metadata + dl side tables (no-token docs → dl 0)
     dl_dirs = sorted(

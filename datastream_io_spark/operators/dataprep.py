@@ -55,16 +55,21 @@ def dedup_exact_keep_first(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.15,
                         block_col: str = "source",
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact Jaccard over word n-gram shingle SETS for candidate pairs
     that share a blocking key AND at least one shingle (inverted-pair
     join — the same posting idea as the index). Output:
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
 
-    Scale: the shingle self-join is bucketed by (block, shingle); at
-    corpus scale you put a df-ceiling on shingles (drop ultra-common
-    ones) — exposed as ``max_shingle_df``-style pre-filter if needed.
-    """
+    Scale: the shingle self-join is bucketed by (block, shingle), so one
+    hot shingle re-quadratizes a bucket. ``max_shingle_df`` caps that:
+    shingles appearing in more than that many docs WITHIN a block are
+    dropped from candidate generation AND intersection counting (set
+    sizes keep every shingle, so the reported jaccard only ever
+    UNDER-estimates — high-threshold near-dup pairs survive because
+    their overlap is carried by the non-ubiquitous shingles too).
+    ``None`` keeps the exact semantics (the DuckDB-oracle mode)."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
         tokenize_simple_udf(F.col(text_col)).alias("tokens"))
@@ -81,6 +86,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.15,
     ).otherwise(F.array().cast("array<string>"))
     sh = toks.select("id", "blk", F.explode(shingles).alias("shingle"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("blk", "shingle")
+               .agg(F.count("*").alias("sdf"))
+               .where(F.col("sdf") > max_shingle_df)
+               .select("blk", "shingle"))
+        sh = sh.join(hot, ["blk", "shingle"], "left_anti")
     a = sh.select(F.col("id").alias("doc_a"), "blk", "shingle")
     b = sh.select(F.col("id").alias("doc_b"), "blk", "shingle")
     inter = (
@@ -108,50 +119,96 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.15,
 # --------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(_MERSENNE)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _minhash_params(n_hashes: int, seed: int = 7):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
-    return a, b
+    return a.astype(np.uint64), b.astype(np.uint64)
 
 
-def _stable_token_hash(tok: str) -> int:
-    """64-bit deterministic token hash. Python's builtin hash() is
-    salted per process (PYTHONHASHSEED) — using it in a UDF would make
-    signatures differ across executors/runs."""
-    import hashlib
+def _hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over an |S|-dtype (padded bytes) array —
+    one numpy pass per BYTE POSITION, never per token. Deterministic
+    across processes (Python's builtin hash() is salted per process,
+    and a per-token hashlib call was the r1 hot-loop offender)."""
+    if tokens.size == 0:
+        return np.zeros(0, np.uint64)
+    width = tokens.dtype.itemsize
+    b = np.frombuffer(tokens.tobytes(), np.uint8).reshape(tokens.size, width)
+    h = np.full(tokens.size, _FNV_OFFSET)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            col = b[:, j]
+            live = col != 0  # S-dtype pads with NUL (absent in UTF-8 text)
+            if not live.any():
+                break
+            h[live] = (h[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
+    return h
 
-    return int.from_bytes(
-        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+
+def _mulmod_m61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61 - 1), fully inside uint64: split both operands
+    into 32-bit limbs and fold 2^61 ≡ 1 (Mersenne-prime reduction).
+    Replaces the r1 object-dtype Python-bigint matrix (VERDICT #5)."""
+    a_hi, a_lo = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    x_hi, x_lo = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        lo = a_lo * x_lo                    # < 2^64
+        mid = a_lo * x_hi + a_hi * x_lo     # < 2^62 (hi limbs < 2^29)
+        hi = a_hi * x_hi                    # < 2^58
+        # a*x = hi*2^64 + mid*2^32 + lo ;  2^64 ≡ 8, 2^32 via 29/32 split
+        mid_hi, mid_lo = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+        r = ((lo & _M61) + (lo >> np.uint64(61)) + (hi << np.uint64(3))
+             + mid_hi + (mid_lo << np.uint64(32)))
+    r = (r & _M61) + (r >> np.uint64(61))
+    r = (r & _M61) + (r >> np.uint64(61))
+    return np.where(r == _M61, np.uint64(0), r)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32,
                        text_col: str = "text", id_col: str = "doc_id",
                        seed: int = 7) -> DataFrame:
-    """MinHash over word-shingle sets: one Arrow-batched pandas UDF;
-    per-doc work is O(|tokens| · n_hashes) numpy. Signature is an
+    """MinHash over word token sets: one Arrow-batched pandas UDF. The
+    whole batch's unique tokens are hashed in one vectorized pass, the
+    (tokens × permutations) universal-hash matrix is uint64 numpy, and
+    per-doc minima come from ``np.minimum.reduceat`` over doc offsets —
+    no per-token (or per-doc) Python in the hot loop. Signature is an
     array<long> column → banding happens in plain Column ops."""
     a_params, b_params = _minhash_params(n_hashes, seed)
+    sentinel = [int(_MERSENNE)] * n_hashes
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = set(t.lower().split())
-            if not toks:
-                out.append([int(_MERSENNE)] * len(a_params))
-                continue
-            hv = np.fromiter(
-                ((_stable_token_hash(tok) & 0x7FFFFFFFFFFFFFFF) for tok in toks),
-                np.int64, count=len(toks))
-            # (a*x + b) mod p for every (hash, perm) pair, vectorized
-            m = (
-                (hv[:, None].astype(np.object_) * a_params[None, :]
-                 + b_params[None, :]) % _MERSENNE
-            ).min(axis=0)
-            out.append([int(v) for v in m])
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        toks_list = [t.lower().encode("utf-8", "surrogatepass").split()
+                     for t in texts]
+        # numpy |S| strips trailing NULs, so empty docs get a 1-element
+        # placeholder array and an explicit flag (not a magic token)
+        per_doc = [
+            np.unique(np.array(tk, dtype=np.bytes_)) if tk
+            else np.array([b""], dtype="S1")
+            for tk in toks_list
+        ]
+        empty = np.fromiter((not tk for tk in toks_list), bool,
+                            count=len(toks_list))
+        counts = np.array([d.size for d in per_doc], np.int64)
+        flat = np.concatenate(per_doc)
+        hv = _hash_tokens_u64(flat)
+        hv = (hv & _M61) + (hv >> np.uint64(61))  # fold below 2^61
+        hv = np.where(hv >= _M61, hv - _M61, hv)
+        # (a*x + b) mod p, all tokens × all permutations at once
+        perm = _mulmod_m61(a_params[None, :], hv[:, None]) + b_params[None, :]
+        perm = np.where(perm >= _M61, perm - _M61, perm)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        mins = np.minimum.reduceat(perm, starts, axis=0)
+        out = [sentinel if empty[i] else [int(v) for v in mins[i]]
+               for i in range(len(per_doc))]
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"),
@@ -213,20 +270,18 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     def sim_udf(texts: pd.Series) -> pd.Series:
         out = np.empty(len(texts), np.int64)
         for i, t in enumerate(texts):
-            toks = t.lower().split()
+            toks = t.lower().encode("utf-8", "surrogatepass").split()
             if not toks:
                 out[i] = 0
                 continue
-            uniq, counts = np.unique(np.array(toks), return_counts=True)
-            hv = np.fromiter(
-                ((_stable_token_hash(tok) & 0xFFFFFFFFFFFFFFFF) for tok in uniq),
-                np.uint64, count=len(uniq))
+            uniq, counts = np.unique(np.array(toks, dtype=np.bytes_),
+                                     return_counts=True)
+            hv = _hash_tokens_u64(uniq)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
             votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            val = np.uint64(0)
-            for j in np.flatnonzero(votes > 0):
-                val |= np.uint64(1) << np.uint64(j)
+            val = ((votes > 0).astype(np.uint64)
+                   << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
             out[i] = np.int64(val.astype(np.int64))
         return pd.Series(out)
 

@@ -61,6 +61,7 @@ from datastream_io_spark.operators.codec import (
     decode_block_docs,
     decode_block_tfs,
 )
+from datastream_io_spark.functions.xxhash import term_bucket
 from datastream_io_spark.operators.relational_search import parse_query
 
 
@@ -98,7 +99,8 @@ class Searcher:
                 for t, r in hits.iterrows()
             ]
         return [r.asDict() for r in
-                lookup_terms(self.spark, self.index_dir, terms)]
+                lookup_terms(self.spark, self.index_dir, terms,
+                             int(self.stats["n_buckets"]))]
 
     def search(self, query: str, k: int = 10, mode: str = "and",
                with_doc_cols: bool = False) -> DataFrame:
@@ -292,10 +294,20 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                          "score": scores[sel].astype("float64")})
 
 
-def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str]) -> list:
-    """Q2 — dict rows for query terms (tiny read, bucket-pruned)."""
+def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str],
+                 n_buckets: int | None = None) -> list:
+    """Q2 — dict rows for query terms. The bucket of each term is
+    computed DRIVER-SIDE (functions.xxhash, bit-identical to the JVM
+    ``xxhash64``), so the ``dict/term_bucket=K/`` read lists only the
+    |q| bucket directories the query touches — directory-level
+    partition pruning, same trick as the postings scan."""
+    if n_buckets is None:
+        n_buckets = int(read_stats(index_dir)["n_buckets"])
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     d = spark.read.parquet(os.path.join(index_dir, "dict"))
-    return d.where(F.col("term").isin(terms)).collect()
+    return d.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).collect()
 
 
 def search_indexed(
@@ -314,7 +326,8 @@ def search_indexed(
     spark_empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return spark_empty
-    dict_rows = lookup_terms(spark, index_dir, terms)
+    dict_rows = lookup_terms(spark, index_dir, terms,
+                             int(stats["n_buckets"]))
     if mode == "and" and len(dict_rows) < len(terms):
         return spark_empty  # some term absent from the corpus
     if not dict_rows:

@@ -205,7 +205,8 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
         F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)).alias("idf"),
     )
-    dictionary.write.mode("overwrite").parquet(os.path.join(index_dir, "dict"))
+    (dictionary.repartition("term_bucket").write.mode("overwrite")
+     .partitionBy("term_bucket").parquet(os.path.join(index_dir, "dict")))
 
     stats = {
         "n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,

@@ -151,3 +151,38 @@ def test_stats_json(doc_index):
     assert os.path.exists(os.path.join(doc_index, "_INDEX_SUCCESS"))
     with open(os.path.join(doc_index, "_INDEX_SUCCESS")) as f:
         assert json.load(f)["n_terms"] > 0
+
+
+def test_stage_dedup_survivor_deterministic(spark, tmp_path):
+    """Duplicate (repo,path,commit) keys with DIFFERENT content must
+    stage identical survivors at any input partitioning (byte-identity
+    of the index depends on it)."""
+    import hashlib
+
+    import pandas as pd
+
+    from datastream_io_spark.operators.build import stage_corpus
+
+    base = pd.DataFrame({
+        "repo": ["r"] * 4, "path": ["p1", "p1", "p2", "p2"],
+        "commit": ["c"] * 4, "lang": ["py"] * 4,
+        "content": ["AAA", "BBB", "xx", "yy"],
+    })
+    outs = []
+    for i, nparts in enumerate([1, 7]):
+        df = spark.createDataFrame(base).repartition(nparts)
+        idx = str(tmp_path / f"i{i}")
+        stage_corpus(spark, df, idx, n_splits=2, n_buckets=4,
+                     tokenizer="simple")
+        staged = spark.read.parquet(f"{idx}/staged_corpus").orderBy("doc_id")
+        outs.append([(r.path, r.content, r.content_sha256)
+                     for r in staged.collect()])
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 2
+    by_path = {p: c for p, c, _ in outs[0]}
+    # survivor is max(content_sha256), independent of row order
+    exp = {}
+    for p in ("p1", "p2"):
+        cands = base[base.path == p].content.tolist()
+        exp[p] = max(cands, key=lambda c: hashlib.sha256(c.encode()).hexdigest())
+    assert by_path == exp

@@ -159,3 +159,73 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_idx % 3 == 0 for r in rows)
     videos = media.where("kind = 'video'").count()
     assert plan.select("media_id").distinct().count() == videos
+
+
+def test_mulmod_m61_matches_python_bigint():
+    """The uint64 limb-split mulmod must equal exact Python-int math on
+    random 61-bit operands (including the a=M-1, x=M-1 extremes)."""
+    M = (1 << 61) - 1
+    rng = np.random.default_rng(3)
+    a = np.concatenate([rng.integers(1, M, 2000), [1, M - 1, M - 1]]).astype(np.uint64)
+    x = np.concatenate([rng.integers(0, M, 2000), [M - 1, 1, M - 1]]).astype(np.uint64)
+    got = DP._mulmod_m61(a, x)
+    exp = [(int(ai) * int(xi)) % M for ai, xi in zip(a, x)]
+    assert [int(v) for v in got] == exp
+
+
+def test_fnv_hash_matches_reference():
+    """Vectorized byte-column FNV-1a must equal the scalar definition."""
+    def fnv(b: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for c in b:
+            h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    toks = [b"a", b"quick", b"brown_fox", b"x" * 40, b"\xc3\xa9t\xc3\xa9"]
+    arr = np.array(toks, dtype=np.bytes_)
+    got = DP._hash_tokens_u64(arr)
+    assert [int(v) for v in got] == [fnv(t) for t in toks]
+
+
+def test_minhash_pinned_signatures(spark):
+    """Frozen r2 signatures (deliberate re-freeze after the vectorized
+    refactor, VERDICT r1 #5): catches any accidental future change to
+    the hash function, permutation params, or empty-doc sentinel."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox", "", "the the the repeated token stream"],
+    }))
+    got = {r.id: list(r.sig) for r in
+           DP.minhash_signatures(df, n_hashes=8).collect()}
+    M = (1 << 61) - 1
+    assert got[1] == [600382608101394898, 962596368954793391,
+                      409667055127982167, 77296394005221511,
+                      37590851779411518, 364315699182626964,
+                      78911783084588567, 188673007753320157]
+    assert got[2] == [M] * 8
+    assert got[3] == [851563980120501981, 9661444814473076,
+                      69254620799244216, 262624996605791070,
+                      987350586890891551, 364315699182626964,
+                      82612517590492345, 188673007753320157]
+
+
+def test_ngram_jaccard_max_shingle_df(spark):
+    """A block-ubiquitous shingle must stop generating candidates under
+    the df ceiling while true near-dup pairs survive."""
+    import pandas as pd
+    texts = {0: "alpha beta gamma delta unique0 thing0",
+             1: "alpha beta gamma delta unique0 thing0"}
+    for i in range(2, 10):
+        texts[i] = f"alpha beta gamma delta unique{i} thing{i}"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(texts), "source": "s",
+        "text": [texts[i] for i in texts]}))
+
+    loose = DP.ngram_jaccard_pairs(df, n=3, threshold=0.01)
+    capped = DP.ngram_jaccard_pairs(df, n=3, threshold=0.01,
+                                    max_shingle_df=3)
+    n_loose, n_capped = loose.count(), capped.count()
+    assert n_capped < n_loose  # hot shingles no longer pair everyone
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (0, 1) in got  # the real dup pair survives the ceiling

@@ -99,3 +99,48 @@ def test_block_roundtrip_property(gaps, tf_hi):
         assert b["max_doc_id"] == ids[off:off + b["n"]][-1]
         assert b["max_tf"] == tfs[off:off + b["n"]].max()
         off += b["n"]
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """functions.xxhash must be bit-identical to F.xxhash64 (seed 42) —
+    the dict partition pruning depends on it. Covers every length-class
+    branch (<4, <8, <32, ≥32 bytes) and multibyte UTF-8."""
+    import random
+    import string
+
+    from datastream_io_spark.functions.xxhash import xxhash64_str
+
+    rng = random.Random(11)
+    cases = ["", "a", "abc", "abcd", "abcdefg", "exactly8",
+             "sixteen_chars_ab", "thirtyone_bytes_string_here_abc",
+             "thirtytwo_bytes_string_here_abcd", "x" * 100,
+             "été", "中文词项", "naïve_ident"]
+    cases += ["".join(rng.choices(string.printable, k=rng.randint(1, 64)))
+              for _ in range(50)]
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({"t": cases}))
+    got = {r.t: r.h for r in df.select("t", F.xxhash64("t").alias("h")).collect()}
+    for t in cases:
+        assert xxhash64_str(t) == got[t], repr(t)
+
+
+def test_dict_lookup_prunes_term_buckets(spark, doc_index):
+    """Q2 plan: the dict read filters on the DRIVER-computed term
+    bucket, so the scan lists only the query's bucket directories."""
+    import json
+
+    from datastream_io_spark.functions.xxhash import term_bucket
+
+    with open(f"{doc_index}/stats.json") as f:
+        n_buckets = json.load(f)["n_buckets"]
+    terms = ["window", "agg"]
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    d = spark.read.parquet(f"{doc_index}/dict").where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+    scans = scan_info(d)
+    assert scans and "term_bucket" in scans[0]["PartitionFilters"]
+    # and the driver-side buckets agree with what the index stored
+    from datastream_io_spark.operators.indexed_search import lookup_terms
+    rows = lookup_terms(spark, doc_index, terms, n_buckets)
+    assert {r["term"] for r in rows} == set(terms)
+    assert {int(r["term_bucket"]) for r in rows} <= set(buckets)
