@@ -207,6 +207,48 @@ def q_bm25_indexed_and(spark, sf_dir):
 o_bm25_indexed_and = _bm25_oracle(["agg", "window"], 10, "and")
 
 
+def q_phrase_indexed(spark, sf_dir):
+    """Positional index + phrase search: docs containing the exact token
+    sequence 'window agg', ranked by BM25 over the phrase terms. The
+    oracle checks adjacency by substring match on the space-joined
+    normalized token stream — identical semantics."""
+    from datastream_io_spark.operators.build import build_index
+    from datastream_io_spark.operators.indexed_search import search_indexed
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="dq_posindex_")
+    build_index(spark, corpus, idx, n_splits=4, n_buckets=8,
+                tokenizer="simple", salt_threshold=100, n_salts=4,
+                positions=True,
+                source_desc=f"{sf_dir}/documents.parquet")
+    topk = search_indexed(spark, idx, "window agg", 10, "phrase",
+                          with_doc_cols=True)
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+o_phrase_indexed = (
+    BM25_CTE.format(terms="'window', 'agg'")
+    + """,
+norm AS (
+  SELECT doc_id,
+         ' ' || array_to_string(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+             t -> t <> ''), ' ') || ' ' AS s
+  FROM documents
+),
+ph AS (SELECT doc_id FROM norm WHERE contains(s, ' window agg '))
+SELECT sc.doc_id, round(sum(s), 6) AS score
+FROM sc JOIN ph USING (doc_id)
+GROUP BY sc.doc_id HAVING count(*) = 2
+ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
@@ -922,6 +964,7 @@ QUERIES = {
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_topk_or": q_bm25_topk_or,
     "bm25_indexed_and": q_bm25_indexed_and,
+    "phrase_indexed": q_phrase_indexed,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -972,6 +1015,7 @@ ORACLES = {
     "bm25_topk_and": o_bm25_topk_and,
     "bm25_topk_or": o_bm25_topk_or,
     "bm25_indexed_and": o_bm25_indexed_and,
+    "phrase_indexed": o_phrase_indexed,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
     "agg_pricing_summary": o_agg_pricing_summary,

@@ -26,9 +26,13 @@ def brute_force_topk(
     text_col: str = "text",
     tokenizer: str = "simple",
 ) -> list[dict]:
-    """Returns [{doc_id, score}] sorted (score desc, doc_id asc)."""
+    """Returns [{doc_id, score}] sorted (score desc, doc_id asc).
+    ``mode='phrase'``: keep only docs whose token stream contains the
+    query's token sequence contiguously; rank by BM25 over the phrase's
+    distinct terms (same scoring the indexed phrase path uses)."""
     pure, _ = tokenizer_for(tokenizer)
-    terms = sorted(set(pure(query)))
+    seq = pure(query)
+    terms = sorted(set(seq))
     if not terms:
         return []
     toks = [pure(t) for t in docs[text_col]]
@@ -38,12 +42,20 @@ def brute_force_topk(
     avgdl = sum(dls) / n
     tfs = [Counter(t) for t in toks]
     df = {t: sum(1 for c in tfs if c[t] > 0) for t in terms}
+
+    def has_phrase(stream: list[str]) -> bool:
+        m = len(seq)
+        return any(stream[p:p + m] == seq
+                   for p in range(len(stream) - m + 1))
+
     out = []
     for i in range(n):
         matched = [t for t in terms if tfs[i][t] > 0]
         if not matched:
             continue
-        if mode == "and" and len(matched) < len(terms):
+        if mode in ("and", "phrase") and len(matched) < len(terms):
+            continue
+        if mode == "phrase" and not has_phrase(toks[i]):
             continue
         score = 0.0
         for t in matched:  # sorted term order — same fold order as engine

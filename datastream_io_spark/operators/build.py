@@ -90,6 +90,7 @@ BLOCKS_TYPE = T.ArrayType(
             T.StructField("docs", T.BinaryType()),
             T.StructField("tfs", T.BinaryType()),
             T.StructField("dls", T.BinaryType()),
+            T.StructField("poss", T.BinaryType(), nullable=True),
         ]
     )
 )
@@ -138,6 +139,7 @@ def stage_corpus(
     n_splits: int,
     n_buckets: int,
     tokenizer: str,
+    positions: bool = False,
 ) -> dict:
     """Phase A. Returns the frozen staging info. Skipped when already
     staged — doc ids are FROZEN across resumes (SURVEY.md §3.1)."""
@@ -185,6 +187,7 @@ def stage_corpus(
         "n_splits": n_splits,
         "n_buckets": n_buckets,
         "tokenizer": tokenizer,
+        "positions": positions,
         "split_counts": {str(k): v for k, v in counts.items()},
         "split_offsets": {str(k): v for k, v in offsets.items()},
     }
@@ -211,16 +214,21 @@ def _encode_partitions(it):
         ids = pdf["doc_id"].to_numpy()
         tfs = pdf["tf"].to_numpy()
         dls = pdf["dl"].to_numpy()
+        pos_col = (pdf["positions"].to_numpy()
+                   if "positions" in pdf.columns else None)
         change = np.flatnonzero(
             (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(pdf)]))
         rows = []
         for s, e in zip(starts, ends):
+            flat_pos = (np.concatenate(pos_col[s:e])
+                        if pos_col is not None else None)
             rows.append((
                 terms[s], int(salts[s]), int(ids[s]), int(ids[e - 1]),
                 int(e - s), int(tfs[s:e].sum()),
-                encode_blocks(ids[s:e], tfs[s:e], dls[s:e]),
+                encode_blocks(ids[s:e], tfs[s:e], dls[s:e],
+                              positions=flat_pos),
             ))
         yield pd.DataFrame(rows, columns=[
             "term", "salt", "first_doc_id", "last_doc_id",
@@ -238,6 +246,9 @@ def build_segment(
 ) -> dict:
     """Phase B for one split: pruned scan → tokenize once → tf →
     salt → sorted block encode. Atomic: temp write → rename → manifest.
+    When ``info['positions']`` is set the explode keeps the token index
+    (posexplode) and per-posting position lists ride into the block
+    codec — enabling phrase queries for ~60% more index bytes.
     """
     tokenizer = info["tokenizer"]
     count = info["split_counts"].get(str(split_id), 0)
@@ -271,17 +282,26 @@ def build_segment(
         split_rows.select("doc_id", "content").repartition(fan),
         "content", mode=tokenizer, use_udf=True,
     ).select("doc_id", "tokens")
-    exploded = tok.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("dl"),
-        F.explode("tokens").alias("term"),
-    )
+    with_positions = bool(info.get("positions", False))
+    if with_positions:
+        exploded = tok.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("dl"),
+            F.posexplode("tokens").alias("pos", "term"),
+        )
+        aggs = [F.count("*").alias("tf"), F.first("dl").alias("dl"),
+                F.sort_array(F.collect_list("pos")).alias("positions")]
+    else:
+        exploded = tok.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("dl"),
+            F.explode("tokens").alias("term"),
+        )
+        aggs = [F.count("*").alias("tf"), F.first("dl").alias("dl")]
     # persisted: three downstream actions (hot-set broadcast build, the
     # segment write, the dl side-table write) would otherwise each
     # replay the tokenize UDF — measured as 3× the split job's cost
-    tf = exploded.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    ).persist()
+    tf = exploded.groupBy("doc_id", "term").agg(*aggs).persist()
     try:
         # C4 — in-split hot terms get range-salted over the split's
         # contiguous doc range so encode groups cap at ~count/n_salts docs
@@ -299,8 +319,10 @@ def build_segment(
             F.when(F.col("is_hot").isNotNull(), salt_expr).otherwise(F.lit(0)),
         ).drop("is_hot")
 
+        run_cols = ["term", "salt", "doc_id", "tf", "dl"] + (
+            ["positions"] if with_positions else [])
         runs = (
-            salted.select("term", "salt", "doc_id", "tf", "dl")
+            salted.select(*run_cols)
             .repartition(spark.sparkContext.defaultParallelism, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
             .mapInPandas(_encode_partitions, SEGMENT_SCHEMA)
@@ -462,6 +484,7 @@ def finalize_index(
         "n_splits": n_splits,
         "n_buckets": n_buckets,
         "tokenizer": info["tokenizer"],
+        "positions": bool(info.get("positions", False)),
         "split_counts": info["split_counts"],
         "split_offsets": info["split_offsets"],
         "k1": K1,
@@ -503,6 +526,7 @@ def build_index(
     source_desc: str = "",
     fail_after_splits: int | None = None,
     max_concurrent_splits: int = 4,
+    positions: bool = False,
 ) -> dict:
     """End-to-end resumable build. ``fail_after_splits`` is a test hook
     (C6 kill-resume test): raise after that many split jobs complete.
@@ -518,7 +542,8 @@ def build_index(
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(index_dir, exist_ok=True)
-    info = stage_corpus(spark, corpus, index_dir, n_splits, n_buckets, tokenizer)
+    info = stage_corpus(spark, corpus, index_dir, n_splits, n_buckets,
+                        tokenizer, positions=positions)
     pending = M.pending_splits(index_dir, info["n_splits"])
     if fail_after_splits is not None:
         to_run, to_fail = pending[:fail_after_splits], pending[fail_after_splits:]

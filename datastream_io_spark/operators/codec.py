@@ -31,6 +31,14 @@ into blocks of ≤128 doc ids; per block we store
                            docs; storing dl next to tf keeps the query
                            path executor-local at any corpus size for
                            ~1 extra varint byte per posting
+    poss         : binary  OPTIONAL (None when the index is built
+                           without positions): per-posting token
+                           positions, sum(tfs) varints — each posting's
+                           run starts with (first_pos + 1) followed by
+                           strictly-positive within-doc deltas; posting
+                           boundaries are recovered from the decoded
+                           tfs, so no extra length stream is stored.
+                           Powers phrase queries.
 
 Everything is numpy-vectorized (no per-row Python): encode loops only
 over byte-positions (≤10), decode has a fast path for the dominant
@@ -90,20 +98,37 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
     return vals
 
 
+def _encode_positions(seg: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Position stream of one block: per posting, (first_pos + 1) then
+    strictly-positive deltas — all values ≥ 1 so varints stay tight."""
+    gs = np.cumsum(tfs) - tfs  # posting starts within the stream
+    d = np.empty(seg.size, np.int64)
+    d[0] = 0
+    d[1:] = seg[1:] - seg[:-1]
+    d[gs] = seg[gs] + 1
+    return varint_encode(d.astype(np.uint64))
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
+    positions: np.ndarray | None = None,
     block_size: int = BLOCK_SIZE,
 ) -> list[dict]:
     """C2 — sorted (doc_id, tf, doc_len) arrays → list of block dicts.
 
-    ``doc_ids`` must be strictly increasing int64. Blocks need no global
-    statistics (see ``min_dl`` above), so segments are encodable the
-    moment a split is tokenized.
+    ``doc_ids`` must be strictly increasing int64. ``positions``, when
+    given, is the FLAT ascending within-doc token-position stream whose
+    posting boundaries are ``tfs`` (posting i owns tfs[i] positions).
+    Blocks need no global statistics (see ``min_dl`` above), so segments
+    are encodable the moment a split is tokenized.
     """
     doc_ids = np.ascontiguousarray(doc_ids, np.int64)
     tfs = np.ascontiguousarray(tfs, np.int64)
+    if positions is not None:
+        positions = np.ascontiguousarray(positions, np.int64)
+        pbounds = np.concatenate(([0], np.cumsum(tfs)))
     blocks: list[dict] = []
     for s in range(0, doc_ids.size, block_size):
         e = min(s + block_size, doc_ids.size)
@@ -120,6 +145,11 @@ def encode_blocks(
                 "tfs": varint_encode(tfs[s:e].astype(np.uint64)),
                 "dls": varint_encode(
                     np.ascontiguousarray(dls[s:e], np.int64).astype(np.uint64)),
+                "poss": (
+                    _encode_positions(positions[pbounds[s]:pbounds[e]],
+                                      tfs[s:e])
+                    if positions is not None else None
+                ),
             }
         )
     return blocks
@@ -144,6 +174,23 @@ def decode_block_tfs(block) -> np.ndarray:
 
 def decode_block_dls(block) -> np.ndarray:
     return varint_decode(block["dls"], block["n"]).astype(np.int64)
+
+
+def decode_block_positions(block, tfs: np.ndarray | None = None) -> np.ndarray:
+    """Flat position stream of one block (posting boundaries = its tfs).
+    Pass the already-decoded ``tfs`` to skip re-decoding them."""
+    if block["poss"] is None:
+        raise ValueError("index was built without positions "
+                         "(build_index(..., positions=True))")
+    if tfs is None:
+        tfs = decode_block_tfs(block)
+    total = int(tfs.sum())
+    d = varint_decode(block["poss"], total).astype(np.int64)
+    gs = np.cumsum(tfs) - tfs
+    d[gs] -= 1  # undo the +1 on posting-first positions
+    c = np.cumsum(d)
+    base = c[gs] - d[gs]  # running total just before each posting
+    return c - np.repeat(base, tfs)
 
 
 def decode_blocks(blocks) -> tuple[np.ndarray, np.ndarray]:

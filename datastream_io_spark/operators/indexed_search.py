@@ -62,7 +62,16 @@ from datastream_io_spark.operators.codec import (
     decode_block_tfs,
 )
 from datastream_io_spark.functions.xxhash import term_bucket
-from datastream_io_spark.operators.relational_search import parse_query
+from datastream_io_spark.operators.codec import decode_block_positions
+from datastream_io_spark.operators.relational_search import (
+    parse_phrase,
+    parse_query,
+)
+
+# phrase keys pack (doc_id << _POS_BITS) | position: supports docs up to
+# 2^22 tokens and 2^41 (≈2·10^12) doc ids in one int64 — the north-rule
+# corpus bound
+_POS_BITS = 22
 
 
 class Searcher:
@@ -104,20 +113,37 @@ class Searcher:
 
     def search(self, query: str, k: int = 10, mode: str = "and",
                with_doc_cols: bool = False) -> DataFrame:
-        if mode not in ("and", "or"):
-            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
-        terms = parse_query(query, self.stats["tokenizer"])
+        if mode not in ("and", "or", "phrase"):
+            raise ValueError(
+                f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
+        mode, terms, phrase = _plan_terms(query, mode, self.stats)
         spark_empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
             return spark_empty
         rows = self._lookup(terms)
-        if (mode == "and" and len(rows) < len(terms)) or not rows:
+        if (mode in ("and", "phrase") and len(rows) < len(terms)) or not rows:
             return spark_empty
         idf = {r["term"]: float(r["idf"]) for r in rows}
         buckets = sorted({int(r["term_bucket"]) for r in rows})
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
                           float(self.stats["avgdl"]),
-                          len(terms), k, mode, with_doc_cols)
+                          len(terms), k, mode, with_doc_cols, phrase)
+
+
+def _plan_terms(query: str, mode: str,
+                stats: dict) -> tuple[str, list[str], list[str] | None]:
+    """Resolve (mode, lookup terms, phrase sequence). A 1-token phrase
+    degrades to AND (identical semantics, no position decode)."""
+    if mode != "phrase":
+        return mode, parse_query(query, stats["tokenizer"]), None
+    if not stats.get("positions", False):
+        raise ValueError(
+            "phrase search needs a positional index — rebuild with "
+            "build_index(..., positions=True)")
+    phrase = parse_phrase(query, stats["tokenizer"])
+    if len(phrase) <= 1:
+        return "and", sorted(set(phrase)), None
+    return "phrase", sorted(set(phrase)), phrase
 
 
 def _tfn(tf, dl, avgdl: float):
@@ -168,6 +194,63 @@ def _exact_scores(cand: np.ndarray, term_rows: list, idf: dict[str, float],
         dl_c = dls[pos_c[found]].astype(np.float64)
         scores[found] += idf[term] * _tfn(tf_c, dl_c, avgdl)
     return scores
+
+
+def _positions_of(cand: np.ndarray, blocks: list, decoded: dict,
+                  term: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc, position) pairs of one term restricted to ``cand`` (sorted
+    doc ids). Decodes only blocks whose range overlaps a candidate;
+    the variable-length position slices are gathered with one
+    repeat/arange indexer (no per-posting Python)."""
+    firsts = np.fromiter((b["first_doc_id"] for b in blocks), np.int64)
+    maxs = np.fromiter((b["max_doc_id"] for b in blocks), np.int64)
+    lo = np.searchsorted(cand, firsts)
+    hi = np.searchsorted(cand, maxs, side="right")
+    need = np.flatnonzero(hi > lo)
+    doc_parts, pos_parts = [], []
+    for j in need:
+        ck = (term, int(j))
+        if ck not in decoded or decoded[ck][1] is None:
+            d_prev = decoded[ck][0] if ck in decoded else \
+                decode_block_docs(blocks[j])
+            decoded[ck] = (d_prev, decode_block_tfs(blocks[j]),
+                           decode_block_dls(blocks[j]))
+        d, t, _ = decoded[ck]
+        p = decode_block_positions(blocks[j], t)
+        idx = np.searchsorted(d, cand)
+        idx_c = np.minimum(idx, d.size - 1)
+        found = d[idx_c] == cand
+        if not found.any():
+            continue
+        sel = idx_c[found]
+        starts = np.cumsum(t) - t
+        lens = t[sel]
+        total = int(lens.sum())
+        gather = (np.repeat(starts[sel], lens)
+                  + np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens))
+        pos_parts.append(p[gather])
+        doc_parts.append(np.repeat(d[sel], lens))
+    if not doc_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(doc_parts), np.concatenate(pos_parts)
+
+
+def _phrase_filter(cand: np.ndarray, phrase: list[str], blocks_of: dict,
+                   decoded: dict) -> np.ndarray:
+    """Docs in ``cand`` containing the exact token sequence ``phrase``:
+    intersect the per-offset (doc, pos - offset) key sets — a surviving
+    key is a phrase start position."""
+    keys = None
+    for offset, term in enumerate(phrase):
+        docs, poss = _positions_of(cand, blocks_of[term], decoded, term)
+        adj = poss - offset
+        ok = adj >= 0
+        kt = np.unique((docs[ok] << _POS_BITS) | adj[ok])
+        keys = kt if keys is None else np.intersect1d(
+            keys, kt, assume_unique=True)
+        if keys.size == 0:
+            return np.zeros(0, np.int64)
+    return np.unique(keys >> _POS_BITS)
 
 
 def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
@@ -243,34 +326,55 @@ def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
     return uids[ub + slack >= theta] if theta > 0.0 else uids
 
 
+def _and_candidates(term_rows: list, n_terms: int) -> np.ndarray:
+    """Block-skipping conjunctive candidates: intersect starting from
+    the rarest term; other terms decode only overlapping blocks."""
+    none = np.zeros(0, np.int64)
+    if len(term_rows) < n_terms:
+        return none
+    by_df = sorted(term_rows, key=lambda r: sum(b["n"] for b in r[1]))
+    cand = np.concatenate([decode_block_docs(b) for b in by_df[0][1]])
+    for term, blocks in by_df[1:]:
+        if cand.size == 0:
+            return none
+        firsts = np.fromiter((b["first_doc_id"] for b in blocks), np.int64)
+        maxs = np.fromiter((b["max_doc_id"] for b in blocks), np.int64)
+        lo = np.searchsorted(cand, firsts)
+        hi = np.searchsorted(cand, maxs, side="right")
+        need = np.flatnonzero(hi > lo)
+        if need.size == 0:
+            return none
+        ids = np.concatenate([decode_block_docs(blocks[j]) for j in need])
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        cand = cand[ids[pos_c] == cand]
+    return cand
+
+
 def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
-                k: int, mode: str, n_terms: int) -> pd.DataFrame:
+                k: int, mode: str, n_terms: int,
+                phrase: list[str] | None = None) -> pd.DataFrame:
     """Q7 kernel: one document-range split → ≤k exact-scored candidates."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
     term_rows = [(r.term, list(r.blocks)) for r in pdf.itertuples()]
     decoded: dict = {}
 
-    if mode == "and" and n_terms > 1:
+    if mode == "phrase":
         if len(term_rows) < n_terms:
             return empty
-        # intersect starting from the rarest term; block-skip the rest
-        by_df = sorted(term_rows, key=lambda r: sum(b["n"] for b in r[1]))
-        cand = np.concatenate([decode_block_docs(b) for b in by_df[0][1]])
-        for term, blocks in by_df[1:]:
-            if cand.size == 0:
-                return empty
-            firsts = np.fromiter((b["first_doc_id"] for b in blocks), np.int64)
-            maxs = np.fromiter((b["max_doc_id"] for b in blocks), np.int64)
-            lo = np.searchsorted(cand, firsts)
-            hi = np.searchsorted(cand, maxs, side="right")
-            need = np.flatnonzero(hi > lo)
-            if need.size == 0:
-                return empty
-            ids = np.concatenate([decode_block_docs(blocks[j]) for j in need])
-            pos = np.searchsorted(ids, cand)
-            pos_c = np.minimum(pos, ids.size - 1)
-            cand = cand[ids[pos_c] == cand]
+        if n_terms > 1:
+            cand = _and_candidates(term_rows, n_terms)
+        else:  # repeated-token phrase of one distinct term
+            cand = np.concatenate(
+                [decode_block_docs(b) for b in term_rows[0][1]])
+        if cand.size == 0:
+            return empty
+        cand = _phrase_filter(cand, phrase, dict(term_rows), decoded)
+        if cand.size == 0:
+            return empty
+    elif mode == "and" and n_terms > 1:
+        cand = _and_candidates(term_rows, n_terms)
         if cand.size == 0:
             return empty
     else:
@@ -318,17 +422,20 @@ def search_indexed(
     mode: str = "and",
     with_doc_cols: bool = False,
 ) -> DataFrame:
-    """Q8 — end-to-end indexed top-k BM25 search."""
-    if mode not in ("and", "or"):
-        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    """Q8 — end-to-end indexed top-k BM25 search. ``mode='phrase'``
+    ranks by BM25 over the phrase's distinct terms but keeps only docs
+    containing the exact token sequence (positional index required)."""
+    if mode not in ("and", "or", "phrase"):
+        raise ValueError(
+            f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
     stats = read_stats(index_dir)
-    terms = parse_query(query, stats["tokenizer"])
+    mode, terms, phrase = _plan_terms(query, mode, stats)
     spark_empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
         return spark_empty
     dict_rows = lookup_terms(spark, index_dir, terms,
                              int(stats["n_buckets"]))
-    if mode == "and" and len(dict_rows) < len(terms):
+    if mode in ("and", "phrase") and len(dict_rows) < len(terms):
         return spark_empty  # some term absent from the corpus
     if not dict_rows:
         return spark_empty
@@ -336,11 +443,11 @@ def search_indexed(
     buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
     return _wand_topk(spark, index_dir, idf, buckets,
                       float(stats["avgdl"]), len(terms), k, mode,
-                      with_doc_cols)
+                      with_doc_cols, phrase)
 
 
 def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
-               mode, with_doc_cols):
+               mode, with_doc_cols, phrase=None):
     found_terms = sorted(idf)
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     prows = postings.where(
@@ -350,11 +457,14 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
     if len(found_terms) == 1 and n_terms == 1:
         # single-term fast path: no cross-term alignment needed, so skip
         # the per-split shuffle — score each posting row where it is
-        # scanned (mapInPandas straight over the bucket-pruned scan)
+        # scanned (mapInPandas straight over the bucket-pruned scan).
+        # Valid for a repeated-single-token phrase too: a phrase lives
+        # inside one doc, and a doc's postings live in one split row.
         def kernel1(it):
             for pdf in it:
                 outs = [
-                    _wand_split(pdf.iloc[[i]], idf, avgdl, k, mode, 1)
+                    _wand_split(pdf.iloc[[i]], idf, avgdl, k, mode, 1,
+                                phrase)
                     for i in range(len(pdf))
                 ]
                 if outs:
@@ -363,7 +473,7 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
         cand = prows.mapInPandas(kernel1, "doc_id long, score double")
     else:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _wand_split(pdf, idf, avgdl, k, mode, n_terms)
+            return _wand_split(pdf, idf, avgdl, k, mode, n_terms, phrase)
 
         cand = prows.groupBy("split_id").applyInPandas(
             kernel, "doc_id long, score double")

@@ -31,6 +31,15 @@ def parse_query(query: str, mode: str = "simple") -> list[str]:
     return sorted(set(pure(query)))
 
 
+def parse_phrase(query: str, mode: str = "simple") -> list[str]:
+    """Q1 (phrase form) — ORDERED token stream, duplicates kept: phrase
+    adjacency is defined over the same token stream the index stores
+    (for the ``code`` tokenizer that includes sub-tokens, so the phrase
+    ``"parse config"`` matches inside ``parseConfig``)."""
+    pure, _ = tokenizer_for(mode)
+    return pure(query)
+
+
 def score_query_terms(
     docs: DataFrame,
     terms: list[str],

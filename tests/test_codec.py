@@ -67,3 +67,29 @@ def test_compression_is_compact():
     blocks = encode_blocks(ids, tfs, np.ones(10_000, np.int64))
     total = sum(len(b["docs"]) + len(b["tfs"]) for b in blocks)
     assert total < 10_000 * 2.1
+
+
+def test_positions_roundtrip_property():
+    """C7: flat position stream survives encode/decode across block
+    boundaries for randomized tf distributions."""
+    import numpy as np
+
+    from datastream_io_spark.operators.codec import (
+        decode_block_positions,
+        decode_block_tfs,
+        encode_blocks,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n = int(rng.integers(1, 700))
+        ids = np.cumsum(rng.integers(1, 9, n)).astype(np.int64)
+        tfs = rng.integers(1, 7, n).astype(np.int64)
+        dls = rng.integers(1, 500, n).astype(np.int64)
+        parts = [np.sort(rng.choice(4000, size=t, replace=False)).astype(np.int64)
+                 for t in tfs]
+        flat = np.concatenate(parts)
+        blocks = encode_blocks(ids, tfs, dls, positions=flat)
+        got = np.concatenate([
+            decode_block_positions(b, decode_block_tfs(b)) for b in blocks])
+        assert np.array_equal(got, flat)

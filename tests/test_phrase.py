@@ -1,0 +1,107 @@
+"""Phrase-query tests: positional codec → posexplode build → indexed
+phrase search, golden-checked against the pandas brute-force phrase
+matcher (SURVEY.md §2.5; VERDICT r1 'What's missing' #3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_io_spark.golden import brute_force_topk
+from datastream_io_spark.operators.build import build_index, read_stats
+from datastream_io_spark.operators.indexed_search import (
+    Searcher,
+    search_indexed,
+)
+from datastream_io_spark.sources.scan import documents_as_corpus
+from tests.conftest import SF0001, docs_with_text
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("pos_index"))
+    corpus = documents_as_corpus(spark, SF0001)
+    build_index(spark, corpus, idx, n_splits=3, n_buckets=8,
+                tokenizer="simple", salt_threshold=50, n_salts=4,
+                positions=True)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def pos_pdf(spark, pos_index):
+    corpus = documents_as_corpus(spark, SF0001)
+    return docs_with_text(spark, pos_index, corpus).toPandas()
+
+
+def _check(rows, expected):
+    got = [(int(r.doc_id), float(r.score)) for r in rows]
+    assert [g[0] for g in got] == [e["doc_id"] for e in expected]
+    for g, e in zip(got, expected):
+        assert g[1] == pytest.approx(e["score"], abs=1e-9)
+
+
+PHRASES = ["window agg", "scan merge", "agg window", "sort merge scan",
+           "window window"]
+
+
+def test_phrase_rank_identity_vs_bruteforce(spark, pos_index, pos_pdf):
+    for q in PHRASES:
+        exp = brute_force_topk(pos_pdf, q, k=10, mode="phrase")
+        got = search_indexed(spark, pos_index, q, 10, "phrase").collect()
+        _check(got, exp)
+        # phrase hits are a subset of the AND hits with identical scores
+        and_ids = {r.doc_id for r in
+                   search_indexed(spark, pos_index, q, 500, "and").collect()}
+        assert {r.doc_id for r in got} <= and_ids
+
+
+def test_phrase_warm_searcher_matches_cold(spark, pos_index, pos_pdf):
+    s = Searcher(spark, pos_index)
+    q = "window agg"
+    exp = brute_force_topk(pos_pdf, q, k=10, mode="phrase")
+    _check(s.search(q, 10, "phrase").collect(), exp)
+
+
+def test_single_token_phrase_equals_and(spark, pos_index):
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         search_indexed(spark, pos_index, "window", 10, "phrase").collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         search_indexed(spark, pos_index, "window", 10, "and").collect()]
+    assert a == b
+
+
+def test_phrase_on_nonpositional_index_raises(spark, doc_index):
+    assert not read_stats(doc_index).get("positions", False)
+    with pytest.raises(ValueError, match="positional"):
+        search_indexed(spark, doc_index, "window agg", 10, "phrase")
+
+
+def test_phrase_unknown_term_is_empty(spark, pos_index):
+    out = search_indexed(spark, pos_index, "window zzzzunknown", 5, "phrase")
+    assert out.count() == 0
+
+
+def test_phrase_code_tokenizer_subtokens(spark, tmp_path):
+    """The code chain stores sub-token positions, so the phrase
+    'parse config' matches inside camelCase parseConfig."""
+    import pandas as pd
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "repo": ["r"] * 3, "path": ["a.py", "b.py", "c.py"],
+        "commit": ["c"] * 3, "lang": ["py"] * 3,
+        "content": ["def parseConfig(x): return x",
+                    "def parse(conf): config = conf",
+                    "nothing relevant here"],
+    }))
+    idx = str(tmp_path / "code_pos")
+    build_index(spark, corpus, idx, n_splits=2, n_buckets=4,
+                tokenizer="code", positions=True)
+    got = search_indexed(spark, idx, "parse config", 10, "phrase",
+                         with_doc_cols=True).collect()
+    assert [r.path for r in got] == ["a.py"]  # b.py has both, not adjacent
+
+
+def test_and_or_unchanged_on_positional_index(spark, pos_index, pos_pdf):
+    """Positions are additive: non-phrase modes on a positional index
+    reproduce the brute-force golden exactly."""
+    for q, m in [("window agg", "and"), ("scan merge sort", "or")]:
+        exp = brute_force_topk(pos_pdf, q, k=10, mode=m)
+        _check(search_indexed(spark, pos_index, q, 10, m).collect(), exp)
