@@ -225,3 +225,50 @@ def test_zscore_reference_forgetting():
     assert abs(out["mean"].iloc[199]) < 1e-6
     assert out["mean"].iloc[-1] > 9.0  # forgetting let it adapt
     assert out["zscore"].iloc[200] > 5.0  # the shift was flagged
+
+
+def test_dashboard_metrics_sink_stream_equals_batch(
+        spark, events, event_stream_dir, tmp_path):
+    """ST sink (dsio dashboard heritage): the per-batch appended metrics
+    feed, merged at read time, must equal one batch aggregation of the
+    batch-scored history — and latest.json must carry the same totals."""
+    import json
+
+    from datastream_io_spark.streaming.dashboard import (
+        attach_metrics_sink,
+        read_metrics,
+        render_dashboard,
+        score_window_metrics,
+    )
+
+    d, schema = event_stream_dir
+    stream = read_restream(spark, d, schema)
+    scored_stream = zscore_stateful_stream(stream)
+    out = str(tmp_path / "dash")
+    q = attach_metrics_sink(scored_stream, out, "zscore", threshold=2.0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _rows(read_metrics(spark, out),
+                ["window_start", "n_rows", "n_anomalies", "max_abs_score"])
+    exp_df = score_window_metrics(zscore_batch(events), "zscore",
+                                  threshold=2.0)
+    exp = _rows(exp_df,
+                ["window_start", "n_rows", "n_anomalies", "max_abs_score"])
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], abs=1e-9)
+    # sum_score is float accumulation across different batchings — 1e-6
+    gs = {r.window_start: r.sum_score for r in read_metrics(spark, out).collect()}
+    es = {r.window_start: r.sum_score for r in exp_df.collect()}
+    for k in es:
+        assert gs[k] == pytest.approx(es[k], abs=1e-6)
+
+    with open(f"{out}/latest.json") as f:
+        snap = json.load(f)
+    assert snap["rows"] == events.count()
+    assert snap["anomalies"] == sum(g[2] for g in got)
+    table = render_dashboard(spark, out, n=5)
+    assert table.count() == len(got)
