@@ -46,12 +46,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_suite = time.time()
 
-    # 1. documents index (the driver fixture corpus)
+    # 1. documents index (the driver fixture corpus) — POSITIONAL since
+    # r2, so the timing covers the posexplode/positions-stream overhead
+    # and the query set can include a phrase
     doc_idx = os.path.join(tmp, "docs")
     t0 = time.time()
     build_index(spark, documents_as_corpus(spark, sf_dir), doc_idx,
                 n_splits=4, n_buckets=16, tokenizer="simple",
-                salt_threshold=1000, n_salts=8,
+                salt_threshold=1000, n_salts=8, positions=True,
                 source_desc=f"{sf_dir}/documents.parquet")
     timings["build_documents_index"] = time.time() - t0
 
@@ -77,7 +79,8 @@ def main() -> None:
     from datastream_io_spark.operators.indexed_search import Searcher
 
     doc_queries = [("scan", "and"), ("window agg", "and"),
-                   ("window agg", "or"), ("spark stream batch", "and")]
+                   ("window agg", "or"), ("spark stream batch", "and"),
+                   ("window agg", "phrase")]
     code_queries = [("parseConfig", "and"), ("parse config", "and"),
                     ("import os error", "or"), ("def", "and")]
     lat_ms: list[float] = []
