@@ -694,6 +694,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_map_funcs(spark, sf_dir):
+    """§2.9 map tier: map_from_arrays / element_at / map_keys over a map
+    built from event columns (map outputs serialized to strings so the
+    driver canonicalizer can hash them)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")))
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "user").alias("m_user"),
+        F.concat_ws(",", F.map_keys(m)).alias("m_keys"),
+        F.size(m).cast("long").alias("m_size"),
+    )
+
+
+o_map_funcs = """
+WITH m AS (
+  SELECT event_id,
+         MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)} AS mm
+  FROM events
+)
+SELECT event_id,
+       mm['type'][1] AS m_type,
+       mm['user'][1] AS m_user,
+       array_to_string(map_keys(mm), ',') AS m_keys,
+       CAST(cardinality(mm) AS BIGINT) AS m_size
+FROM m
+"""
+
+
 def q_array_funcs(spark, sf_dir):
     """§2.9 array tier: fold (aggregate) over the embedding vector —
     identical left-fold order + explicit double casts on both engines
@@ -989,6 +1021,7 @@ QUERIES = {
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
     "json_funcs": q_json_funcs,
+    "map_funcs": q_map_funcs,
     "array_funcs": q_array_funcs,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1040,6 +1073,7 @@ ORACLES = {
     "string_funcs": o_string_funcs,
     "date_funcs": o_date_funcs,
     "json_funcs": o_json_funcs,
+    "map_funcs": o_map_funcs,
     "array_funcs": o_array_funcs,
     "dedup_exact": o_dedup_exact,
     "doc_fingerprint": o_doc_fingerprint,

@@ -16,7 +16,8 @@ def main(argv: list[str]) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--query", required=True)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--mode", default="and", choices=["and", "or"])
+    p.add_argument("--mode", default="and", choices=["and", "or", "phrase"],
+                   help="phrase needs an index built with positions=True")
     p.add_argument("--relational", action="store_true",
                    help="also run the index-free relational path (self-oracle)")
     args = p.parse_args(argv)
