@@ -918,6 +918,34 @@ def q_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """rows-only: SRP-LSH bucketed embedding near-dup pairs with exact
+    cosine verification. The synthetic embeddings are near-orthogonal
+    (measured max off-diagonal cos ≈ 0.51 at sf0.01), so the entry
+    plants 32 deterministic noisy clones — the returned pairs are the
+    recovered (original, clone) matches at cos ≥ 0.98 (recall + numpy
+    cosine checks in tests/test_dataprep.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_io_spark.operators.dataprep import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.orderBy("vec_id").limit(32).toPandas()
+    mat = np.array(base["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(13)
+    clones = mat + rng.normal(0.0, 0.005, mat.shape)
+    clone_df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [1_000_000 + int(v) for v in base["vec_id"]],
+        "embedding": [[float(x) for x in row] for row in clones],
+    }))
+    both = emb.select("vec_id", "embedding").unionByName(clone_df)
+    return embedding_neardup_pairs(both, threshold=0.98, n_bits=12,
+                                   n_bands=6)
+
+
 def q_ivf_ann(spark, sf_dir):
     """rows-only: IVF-bucketed approximate top-10 answered from the
     PERSISTED partitioned index — the scan lists only the nprobe probed
@@ -1032,6 +1060,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
     "ivf_ann": q_ivf_ann,
     "multimodal_features": q_multimodal_features,
     "grouped_agg_udaf": q_grouped_agg_udaf,

@@ -289,28 +289,123 @@ def simhash64(docs: DataFrame, text_col: str = "text",
                        sim_udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_prefix_candidates(docs: DataFrame, prefix_bits: int = 16,
-                              max_hamming: int = 8,
-                              text_col: str = "text",
-                              id_col: str = "doc_id") -> DataFrame:
-    """Bucket docs by the top ``prefix_bits`` of their simhash, compare
-    within buckets only, keep pairs within ``max_hamming``. (Production
-    variant rotates the hash to cover all prefixes; one rotation here.)
-    """
-    sims = simhash64(docs, text_col, id_col).withColumn(
-        "prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
-    a = sims.select(F.col("id").alias("doc_a"),
-                    F.col("simhash").alias("sim_a"), "prefix")
-    b = sims.select(F.col("id").alias("doc_b"),
-                    F.col("simhash").alias("sim_b"), "prefix")
+def _simhash_prefix_pairs(sims: DataFrame, prefix_bits: int,
+                          max_hamming: int, n_rotations: int) -> DataFrame:
+    """Bucket-join on the top ``prefix_bits`` of each of ``n_rotations``
+    bit-rotations of the simhash. A pair within ``max_hamming`` is
+    missed only if EVERY rotation puts a differing bit inside its
+    prefix — with r rotations and h differing bits that needs h ≥ r
+    well-spread bits, so recall climbs quickly with r (the classic
+    rotate-and-sort simhash dedup scheme, Manku et al. WWW 2007)."""
+    rots = []
+    for r in range(n_rotations):
+        s = (64 // n_rotations) * r
+        rotated = F.col("simhash") if s == 0 else (
+            F.shiftleft("simhash", s)
+            .bitwiseOR(F.shiftrightunsigned("simhash", 64 - s)))
+        rots.append(F.struct(
+            F.lit(r).alias("rot"),
+            F.shiftrightunsigned(rotated, 64 - prefix_bits).alias("prefix")))
+    bucketed = sims.select(
+        "id", "simhash", F.explode(F.array(*rots)).alias("b")
+    ).select("id", "simhash", F.col("b.rot").alias("rot"),
+             F.col("b.prefix").alias("prefix"))
+    a = bucketed.select(F.col("id").alias("doc_a"),
+                        F.col("simhash").alias("sim_a"), "rot", "prefix")
+    b = bucketed.select(F.col("id").alias("doc_b"),
+                        F.col("simhash").alias("sim_b"), "rot", "prefix")
     return (
-        a.join(b, "prefix")
+        a.join(b, ["rot", "prefix"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(
             F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming").distinct()
     )
+
+
+def simhash_prefix_candidates(docs: DataFrame, prefix_bits: int = 16,
+                              max_hamming: int = 8,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              n_rotations: int = 1) -> DataFrame:
+    """Bucket docs by simhash prefixes (over ``n_rotations`` rotations),
+    compare within buckets only, keep pairs within ``max_hamming``.
+    Candidate generation is bucket-local; rotations trade shuffle volume
+    (×r rows) for recall on pairs whose differing bits land in the
+    prefix."""
+    sims = simhash64(docs, text_col, id_col)
+    return _simhash_prefix_pairs(sims, prefix_bits, max_hamming, n_rotations)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (task brief dedup method #5)
+# --------------------------------------------------------------------------
+
+def srp_band_hashes(embeddings: DataFrame, n_bits: int = 16,
+                    n_bands: int = 4, seed: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Signed-random-projection LSH (Charikar, STOC 2002): one Arrow
+    batch matmul against ``n_bands × n_bits`` fixed seeded hyperplanes,
+    sign bits packed per band into an int64 → (id, band, bhash) rows.
+    Two vectors collide in a band with prob ``(1 - θ/π)^n_bits``, so
+    near-parallel vectors collide in ≥1 of several bands w.h.p."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * n_bits))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ planes) > 0.0                      # (batch, bands*bits)
+        bits = bits.reshape(len(vecs), n_bands, n_bits)
+        hashes = (bits * weights[None, None, :]).sum(axis=2)  # (batch, bands)
+        return pd.Series([[int(v) for v in row] for row in hashes])
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), bands_udf(F.col(vec_col)).alias("bands")
+    ).select(
+        "id", F.posexplode("bands").alias("band", "bhash"))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                            n_bits: int = 16, n_bands: int = 4,
+                            seed: int = 3, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate vector pairs: SRP-LSH candidate generation
+    (bucket-local self-join on (band, bhash) — the quadratic step never
+    crosses a bucket), then EXACT cosine verification of the deduped
+    candidates in pure Column math. Output (vec_a, vec_b, cos) with
+    vec_a < vec_b and cos ≥ threshold; pairs missed by every band are
+    the (tunable) recall loss, measured in tests on planted near-dups."""
+    bands = srp_band_hashes(embeddings, n_bits, n_bands, seed,
+                            id_col, vec_col)
+    l = bands.select(F.col("id").alias("vec_a"), "band", "bhash")
+    r = bands.select(F.col("id").alias("vec_b"), "band", "bhash")
+    cand = (
+        l.join(r, ["band", "bhash"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"),
+                           F.col(vec_col).alias("emb_a"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"),
+                           F.col(vec_col).alias("emb_b"))
+    verified = (
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            (_dot(F.col("emb_a"), F.col("emb_b"))
+             / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    return verified.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
 
 # --------------------------------------------------------------------------

@@ -229,3 +229,55 @@ def test_ngram_jaccard_max_shingle_df(spark):
     assert n_capped < n_loose  # hot shingles no longer pair everyone
     got = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert (0, 1) in got  # the real dup pair survives the ceiling
+
+
+def test_embedding_neardup_pairs(spark, embeddings):
+    """SRP-LSH near-dup: planted noisy clones are all recovered, every
+    reported pair is truly >= threshold (numpy oracle), deterministic
+    across partitioning."""
+    pdf = embeddings.limit(64).toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(9)
+    clones = mat[:8] + rng.normal(0, 0.01, mat[:8].shape)  # cos ≈ 0.999+
+    import pandas as pd
+    all_pdf = pd.DataFrame({
+        "vec_id": list(pdf["vec_id"]) + [10_000 + i for i in range(8)],
+        "embedding": [list(map(float, v)) for v in mat]
+                     + [list(map(float, v)) for v in clones],
+    })
+    df = spark.createDataFrame(all_pdf)
+    got = DP.embedding_neardup_pairs(df, threshold=0.99, n_bits=12,
+                                     n_bands=6).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in got}
+    for i in range(8):
+        assert (int(pdf["vec_id"].iloc[i]), 10_000 + i) in pairs
+    # numpy verification of every reported cosine
+    vecs = {int(r): np.array(v, np.float64)
+            for r, v in zip(all_pdf["vec_id"], all_pdf["embedding"])}
+    for r in got:
+        a, b = vecs[r.vec_a], vecs[r.vec_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r.cos == pytest.approx(round(cos, 6), abs=1e-6)
+        assert cos >= 0.99
+    got2 = {(r.vec_a, r.vec_b) for r in
+            DP.embedding_neardup_pairs(df.repartition(13), threshold=0.99,
+                                       n_bits=12, n_bands=6).collect()}
+    assert pairs == got2
+
+
+def test_simhash_rotations_recover_prefix_split_pairs(spark):
+    """A hamming-1 pair differing in the TOP bit is invisible to the
+    rotation-0 prefix bucket but found once a rotation moves the
+    matching low bits into the prefix."""
+    import pandas as pd
+    sims = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "simhash": [int(np.int64(np.uint64(0x8000000000000001).astype(np.int64))),
+                    1],
+    }))
+    none = DP._simhash_prefix_pairs(sims, prefix_bits=16, max_hamming=2,
+                                    n_rotations=1)
+    assert none.count() == 0
+    found = DP._simhash_prefix_pairs(sims, prefix_bits=16, max_hamming=2,
+                                     n_rotations=2)
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in found.collect()] == [(1, 2, 1)]
