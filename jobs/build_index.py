@@ -29,6 +29,10 @@ def main(argv: list[str]) -> int:
     p.add_argument("--salts", type=int, default=8)
     p.add_argument("--concurrency", type=int, default=4,
                    help="concurrent split jobs")
+    p.add_argument("--positions", action="store_true",
+                   help="store per-posting token positions (enables "
+                        "--mode phrase in jobs/search.py; ~60%% more "
+                        "index bytes)")
     p.add_argument("--drop-staged", action="store_true",
                    help="delete the staged corpus copy after finalize")
     p.add_argument("--stage-only", action="store_true",
@@ -54,7 +58,8 @@ def main(argv: list[str]) -> int:
     corpus = scan_corpus(spark, args.src, args.fmt)
     if args.stage_only:
         info = stage_corpus(spark, corpus, args.out, args.splits,
-                            args.buckets, args.tokenizer)
+                            args.buckets, args.tokenizer,
+                            positions=args.positions)
         print(f"staged: n_docs={info['n_docs']} splits={info['n_splits']}")
         return 0
     if args.finalize_only:
@@ -72,7 +77,7 @@ def main(argv: list[str]) -> int:
         n_splits=args.splits, n_buckets=args.buckets,
         tokenizer=args.tokenizer, salt_threshold=args.salt_threshold,
         n_salts=args.salts, source_desc=f"{args.fmt}:{args.src}",
-        max_concurrent_splits=args.concurrency,
+        max_concurrent_splits=args.concurrency, positions=args.positions,
     )
     if args.drop_staged:
         drop_staged_corpus(args.out)
