@@ -145,7 +145,18 @@ def stage_corpus(
     staged — doc ids are FROZEN across resumes (SURVEY.md §3.1)."""
     if os.path.exists(_staging_path(index_dir)):
         with open(_staging_path(index_dir)) as f:
-            return json.load(f)
+            info = json.load(f)
+        frozen = {"n_splits": info["n_splits"], "n_buckets": info["n_buckets"],
+                  "tokenizer": info["tokenizer"],
+                  "positions": bool(info.get("positions", False))}
+        asked = {"n_splits": n_splits, "n_buckets": n_buckets,
+                 "tokenizer": tokenizer, "positions": bool(positions)}
+        if frozen != asked:
+            raise ValueError(
+                f"index at {index_dir} was staged with {frozen}, resume "
+                f"requested {asked} — staging is frozen (doc ids must not "
+                "change); rebuild into a fresh directory to change these")
+        return info
     os.makedirs(index_dir, exist_ok=True)
 
     # deterministic survivor per doc key: dropDuplicates keeps an
@@ -354,7 +365,8 @@ def build_segment(
             F.sum(F.aggregate(
                 "blocks", F.lit(0).cast("long"),
                 lambda acc, b: acc + F.length(b["docs"]) + F.length(b["tfs"])
-                + F.length(b["dls"]),
+                + F.length(b["dls"])
+                + F.coalesce(F.length(b["poss"]), F.lit(0)),
             )).alias("compressed_bytes"),
         )
         .crossJoin(ddl_done.agg(F.count("*").alias("n_docs_tok"),
@@ -478,6 +490,7 @@ def finalize_index(
     ).collect()[0]
     n_terms = dictionary.count()
     stats = {
+        "format": 2,  # 2 = per-posting dl (+optional positions) in blocks
         "n_docs": n_docs,
         "n_docs_tokenized": n_docs_tok,
         "avgdl": avgdl,

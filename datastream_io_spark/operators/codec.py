@@ -54,6 +54,12 @@ from datastream_io_spark import BLOCK_SIZE
 _U64_7 = np.uint64(7)
 _U64_0x7F = np.uint64(0x7F)
 
+# phrase keys pack (doc_id << POS_BITS) | position into one int64:
+# positions < 2^22 (4.2M tokens/doc) leaves 2^41 ≈ 2·10^12 doc ids —
+# the north-rule corpus bound. Enforced at ENCODE time so the query
+# side can rely on it instead of silently corrupting keys.
+POS_BITS = 22
+
 
 def varint_encode(vals: np.ndarray) -> bytes:
     """LEB128-style varint pack of a uint64 array, vectorized."""
@@ -128,6 +134,11 @@ def encode_blocks(
     tfs = np.ascontiguousarray(tfs, np.int64)
     if positions is not None:
         positions = np.ascontiguousarray(positions, np.int64)
+        if positions.size and int(positions.max()) >= (1 << POS_BITS):
+            raise ValueError(
+                f"token position {int(positions.max())} >= 2^{POS_BITS}: "
+                f"documents longer than {1 << POS_BITS} tokens are not "
+                "supported by the positional index (phrase-key packing)")
         pbounds = np.concatenate(([0], np.cumsum(tfs)))
     blocks: list[dict] = []
     for s in range(0, doc_ids.size, block_size):

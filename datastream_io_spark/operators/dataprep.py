@@ -352,6 +352,10 @@ def srp_band_hashes(embeddings: DataFrame, n_bits: int = 16,
     Two vectors collide in a band with prob ``(1 - θ/π)^n_bits``, so
     near-parallel vectors collide in ≥1 of several bands w.h.p."""
     first = embeddings.select(vec_col).first()
+    if first is None:  # empty input → zero candidates, not a crash
+        return (embeddings.select(F.col(id_col).alias("id")).limit(0)
+                .withColumn("band", F.lit(0))
+                .withColumn("bhash", F.lit(0).cast("long")))
     dim = len(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_bands * n_bits))

@@ -62,16 +62,14 @@ from datastream_io_spark.operators.codec import (
     decode_block_tfs,
 )
 from datastream_io_spark.functions.xxhash import term_bucket
-from datastream_io_spark.operators.codec import decode_block_positions
+from datastream_io_spark.operators.codec import (
+    POS_BITS as _POS_BITS,  # enforced < 2^22 at encode time (codec.py)
+    decode_block_positions,
+)
 from datastream_io_spark.operators.relational_search import (
     parse_phrase,
     parse_query,
 )
-
-# phrase keys pack (doc_id << _POS_BITS) | position: supports docs up to
-# 2^22 tokens and 2^41 (≈2·10^12) doc ids in one int64 — the north-rule
-# corpus bound
-_POS_BITS = 22
 
 
 class Searcher:
@@ -92,6 +90,7 @@ class Searcher:
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
+        _check_format(self.stats, index_dir)
         self._dict_pdf = None
         if dict_cache == "driver":
             self._dict_pdf = (
@@ -128,6 +127,18 @@ class Searcher:
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
                           float(self.stats["avgdl"]),
                           len(terms), k, mode, with_doc_cols, phrase)
+
+
+def _check_format(stats: dict, index_dir: str) -> None:
+    """Indexes persisted before per-posting dls (format 2) would fail
+    deep inside the kernel with an executor-side KeyError — catch the
+    mismatch at the surface with an actionable message instead."""
+    if int(stats.get("format", 1)) < 2:
+        raise ValueError(
+            f"index at {index_dir} uses on-disk format "
+            f"{stats.get('format', 1)} (pre per-posting doc lengths) — "
+            "rebuild it with this version (build_index / "
+            "finalize_stream_index)")
 
 
 def _plan_terms(query: str, mode: str,
@@ -326,14 +337,26 @@ def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
     return uids[ub + slack >= theta] if theta > 0.0 else uids
 
 
-def _and_candidates(term_rows: list, n_terms: int) -> np.ndarray:
+def _and_candidates(term_rows: list, n_terms: int,
+                    decoded: dict) -> np.ndarray:
     """Block-skipping conjunctive candidates: intersect starting from
-    the rarest term; other terms decode only overlapping blocks."""
+    the rarest term; other terms decode only overlapping blocks. Every
+    doc-stream decode lands in ``decoded`` so exact scoring (and the
+    phrase position pass) never re-decodes the same block."""
     none = np.zeros(0, np.int64)
     if len(term_rows) < n_terms:
         return none
+
+    def docs_of(term: str, blocks: list, j: int) -> np.ndarray:
+        ck = (term, int(j))
+        if ck not in decoded:
+            decoded[ck] = (decode_block_docs(blocks[j]), None, None)
+        return decoded[ck][0]
+
     by_df = sorted(term_rows, key=lambda r: sum(b["n"] for b in r[1]))
-    cand = np.concatenate([decode_block_docs(b) for b in by_df[0][1]])
+    term0, blocks0 = by_df[0]
+    cand = np.concatenate(
+        [docs_of(term0, blocks0, j) for j in range(len(blocks0))])
     for term, blocks in by_df[1:]:
         if cand.size == 0:
             return none
@@ -344,7 +367,7 @@ def _and_candidates(term_rows: list, n_terms: int) -> np.ndarray:
         need = np.flatnonzero(hi > lo)
         if need.size == 0:
             return none
-        ids = np.concatenate([decode_block_docs(blocks[j]) for j in need])
+        ids = np.concatenate([docs_of(term, blocks, j) for j in need])
         pos = np.searchsorted(ids, cand)
         pos_c = np.minimum(pos, ids.size - 1)
         cand = cand[ids[pos_c] == cand]
@@ -364,17 +387,21 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         if len(term_rows) < n_terms:
             return empty
         if n_terms > 1:
-            cand = _and_candidates(term_rows, n_terms)
+            cand = _and_candidates(term_rows, n_terms, decoded)
         else:  # repeated-token phrase of one distinct term
+            term0, blocks0 = term_rows[0]
+            for j in range(len(blocks0)):
+                decoded[(term0, j)] = (decode_block_docs(blocks0[j]),
+                                       None, None)
             cand = np.concatenate(
-                [decode_block_docs(b) for b in term_rows[0][1]])
+                [decoded[(term0, j)][0] for j in range(len(blocks0))])
         if cand.size == 0:
             return empty
         cand = _phrase_filter(cand, phrase, dict(term_rows), decoded)
         if cand.size == 0:
             return empty
     elif mode == "and" and n_terms > 1:
-        cand = _and_candidates(term_rows, n_terms)
+        cand = _and_candidates(term_rows, n_terms, decoded)
         if cand.size == 0:
             return empty
     else:
@@ -429,6 +456,7 @@ def search_indexed(
         raise ValueError(
             f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
     stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
     mode, terms, phrase = _plan_terms(query, mode, stats)
     spark_empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:

@@ -57,44 +57,52 @@ def score_window_metrics(scored: DataFrame, score_col: str,
 def metrics_sink(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                  out_dir: str, score_col: str, threshold: float = 3.0,
                  window: str = "1 minute") -> None:
-    """foreachBatch handler: append this batch's window partials to the
-    feed, then refresh ``latest.json`` (atomic rename) with the running
-    totals a dashboard header would show."""
-    os.makedirs(out_dir, exist_ok=True)
-    part = score_window_metrics(batch_df, score_col, threshold, window) \
+    """foreachBatch handler. Idempotent under at-least-once redelivery:
+    each batch's partials land in their OWN ``feed/batch_NNN`` directory
+    with mode=overwrite, so a redelivered batch replaces its previous
+    partials instead of double-counting them. ``latest.json`` is merged
+    INCREMENTALLY (previous snapshot + this batch) — O(1) per batch, not
+    a rescan of the whole feed history."""
+    os.makedirs(os.path.join(out_dir, "feed"), exist_ok=True)
+    part_df = score_window_metrics(batch_df, score_col, threshold, window) \
         .withColumn("batch_id", F.lit(int(batch_id)))
-    part.write.mode("append").parquet(os.path.join(out_dir, "feed"))
+    part_df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "feed", f"batch_{int(batch_id):010d}"))
 
-    totals = read_metrics(spark, out_dir).agg(
+    inc = part_df.agg(
         F.sum("n_rows").alias("rows"),
         F.sum("n_anomalies").alias("anomalies"),
         F.max("max_abs_score").alias("max_abs_score"),
-        F.count("*").alias("windows"),
     ).collect()[0]
+    snap_path = os.path.join(out_dir, "latest.json")
+    prev = {"rows": 0, "anomalies": 0, "max_abs_score": 0.0,
+            "last_batch_id": -1}
+    if os.path.exists(snap_path):
+        with open(snap_path) as f:
+            prev = json.load(f)
+    if int(batch_id) <= int(prev.get("last_batch_id", -1)):
+        return  # redelivered batch: feed already overwritten, totals stand
     snap = {
         "last_batch_id": int(batch_id),
-        "rows": int(totals["rows"] or 0),
-        "anomalies": int(totals["anomalies"] or 0),
-        "max_abs_score": float(totals["max_abs_score"] or 0.0),
-        "windows": int(totals["windows"] or 0),
+        "rows": int(prev["rows"]) + int(inc["rows"] or 0),
+        "anomalies": int(prev["anomalies"]) + int(inc["anomalies"] or 0),
+        "max_abs_score": max(float(prev["max_abs_score"]),
+                             float(inc["max_abs_score"] or 0.0)),
         "score_col": score_col,
         "threshold": threshold,
     }
-    tmp = os.path.join(out_dir, "latest.json.tmp")
+    tmp = snap_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(snap, f, indent=1)
-    os.replace(tmp, os.path.join(out_dir, "latest.json"))
+    os.replace(tmp, snap_path)
 
 
 def attach_metrics_sink(scored_stream: DataFrame, out_dir: str,
                         score_col: str, threshold: float = 3.0,
                         window: str = "1 minute"):
     """Wire the sink onto a scored stream: returns the started query.
-    (`.foreachBatch` — the metrics feed is derived state, so re-delivered
-    batches at worst re-append partials that the read-time merge
-    re-aggregates; totals converge because the merge is idempotent over
-    window keys... NOT over duplicate appends — so the checkpoint dir
-    makes Spark deliver each batch once; see test for the contract.)"""
+    Redelivery-safe: the per-batch overwrite directories make the feed
+    idempotent even though foreachBatch is at-least-once."""
     spark = scored_stream.sparkSession
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -109,7 +117,10 @@ def attach_metrics_sink(scored_stream: DataFrame, out_dir: str,
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     """The feed's per-batch partials, merged to final per-window rows
     (counts/sums summed, maxima maxed) — what a panel renders."""
-    feed = spark.read.parquet(os.path.join(out_dir, "feed"))
+    root = os.path.join(out_dir, "feed")
+    dirs = sorted(os.path.join(root, d) for d in os.listdir(root)
+                  if d.startswith("batch_"))
+    feed = spark.read.parquet(*dirs)
     return (
         feed.groupBy("window_start", "window_end")
         .agg(F.sum("n_rows").alias("n_rows"),
@@ -126,10 +137,11 @@ def render_dashboard(spark: SparkSession, out_dir: str,
     first, with derived display columns (mean |score|, anomaly rate)."""
     with open(os.path.join(out_dir, "latest.json")) as f:
         snap = json.load(f)
+    merged = read_metrics(spark, out_dir)
     print(f"[dashboard] rows={snap['rows']} anomalies={snap['anomalies']} "
           f"max|{snap['score_col']}|={snap['max_abs_score']:.3f} "
-          f"windows={snap['windows']} (threshold {snap['threshold']})")
-    table = read_metrics(spark, out_dir).select(
+          f"windows={merged.count()} (threshold {snap['threshold']})")
+    table = merged.select(
         "window_start", "n_rows", "n_anomalies",
         F.round(F.col("sum_abs_score") / F.col("n_rows"), 4)
         .alias("mean_abs_score"),

@@ -209,6 +209,7 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
      .partitionBy("term_bucket").parquet(os.path.join(index_dir, "dict")))
 
     stats = {
+        "format": 2,
         "n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
         "tokenizer": tokenizer, "k1": K1, "b": B,
         "n_splits": len(bounds), "kind": "streaming",

@@ -186,3 +186,24 @@ def test_stage_dedup_survivor_deterministic(spark, tmp_path):
         cands = base[base.path == p].content.tolist()
         exp[p] = max(cands, key=lambda c: hashlib.sha256(c.encode()).hexdigest())
     assert by_path == exp
+
+
+def test_stage_resume_rejects_changed_settings(spark, tmp_path):
+    """Re-staging with different frozen settings (positions/tokenizer/
+    splits) must raise, not silently return the old staging."""
+    import pandas as pd
+    import pytest
+
+    from datastream_io_spark.operators.build import stage_corpus
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["py"],
+        "content": ["hello world"]}))
+    idx = str(tmp_path / "idx")
+    stage_corpus(spark, df, idx, 2, 4, "simple", positions=False)
+    # same settings → silent resume
+    stage_corpus(spark, df, idx, 2, 4, "simple", positions=False)
+    with pytest.raises(ValueError, match="staged with"):
+        stage_corpus(spark, df, idx, 2, 4, "simple", positions=True)
+    with pytest.raises(ValueError, match="staged with"):
+        stage_corpus(spark, df, idx, 4, 4, "simple", positions=False)

@@ -93,3 +93,17 @@ def test_positions_roundtrip_property():
         got = np.concatenate([
             decode_block_positions(b, decode_block_tfs(b)) for b in blocks])
         assert np.array_equal(got, flat)
+
+
+def test_positions_over_bound_rejected():
+    import numpy as np
+    import pytest
+
+    from datastream_io_spark.operators.codec import POS_BITS, encode_blocks
+
+    ids = np.array([1], np.int64)
+    tfs = np.array([1], np.int64)
+    dls = np.array([5], np.int64)
+    with pytest.raises(ValueError, match="not.*supported|supported"):
+        encode_blocks(ids, tfs, dls,
+                      positions=np.array([1 << POS_BITS], np.int64))

@@ -281,3 +281,8 @@ def test_simhash_rotations_recover_prefix_split_pairs(spark):
     found = DP._simhash_prefix_pairs(sims, prefix_bits=16, max_hamming=2,
                                      n_rotations=2)
     assert [(r.doc_a, r.doc_b, r.hamming) for r in found.collect()] == [(1, 2, 1)]
+
+
+def test_embedding_neardup_empty_input(spark, embeddings):
+    empty = embeddings.where("vec_id < 0")
+    assert DP.embedding_neardup_pairs(empty, threshold=0.9).count() == 0

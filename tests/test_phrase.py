@@ -105,3 +105,18 @@ def test_and_or_unchanged_on_positional_index(spark, pos_index, pos_pdf):
     for q, m in [("window agg", "and"), ("scan merge sort", "or")]:
         exp = brute_force_topk(pos_pdf, q, k=10, mode=m)
         _check(search_indexed(spark, pos_index, q, 10, m).collect(), exp)
+
+
+def test_old_format_index_rejected(spark, tmp_path):
+    """A format-1 stats.json (pre per-posting dls) must fail at the
+    surface with an actionable message, not an executor KeyError."""
+    import json
+
+    idx = str(tmp_path / "old_idx")
+    import os
+    os.makedirs(idx)
+    with open(f"{idx}/stats.json", "w") as f:
+        json.dump({"n_docs": 1, "avgdl": 5.0, "n_buckets": 4,
+                   "tokenizer": "simple", "n_splits": 1}, f)
+    with pytest.raises(ValueError, match="format"):
+        search_indexed(spark, idx, "anything", 5, "and")
