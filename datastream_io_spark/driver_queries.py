@@ -207,23 +207,34 @@ def q_bm25_indexed_and(spark, sf_dir):
 o_bm25_indexed_and = _bm25_oracle(["agg", "window"], 10, "and")
 
 
+_POS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pos_index(spark, sf_dir: str) -> str:
+    """One positional documents index per sf_dir per driver process —
+    shared by the phrase + highlight entries."""
+    from datastream_io_spark.operators.build import build_index
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="dq_posindex_")
+        build_index(spark, documents_as_corpus(spark, sf_dir), idx,
+                    n_splits=4, n_buckets=8, tokenizer="simple",
+                    salt_threshold=100, n_salts=4, positions=True,
+                    source_desc=f"{sf_dir}/documents.parquet")
+        _POS_INDEX_CACHE[sf_dir] = idx
+    return _POS_INDEX_CACHE[sf_dir]
+
+
 def q_phrase_indexed(spark, sf_dir):
     """Positional index + phrase search: docs containing the exact token
     sequence 'window agg', ranked by BM25 over the phrase terms. The
     oracle checks adjacency by substring match on the space-joined
     normalized token stream — identical semantics."""
-    from datastream_io_spark.operators.build import build_index
     from datastream_io_spark.operators.indexed_search import search_indexed
-    from datastream_io_spark.sources.scan import documents_as_corpus
 
-    corpus = documents_as_corpus(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="dq_posindex_")
-    build_index(spark, corpus, idx, n_splits=4, n_buckets=8,
-                tokenizer="simple", salt_threshold=100, n_salts=4,
-                positions=True,
-                source_desc=f"{sf_dir}/documents.parquet")
-    topk = search_indexed(spark, idx, "window agg", 10, "phrase",
-                          with_doc_cols=True)
+    topk = search_indexed(spark, _pos_index(spark, sf_dir), "window agg",
+                          10, "phrase", with_doc_cols=True)
     return topk.select(
         F.substring("path", 5, 32).cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"),
@@ -252,6 +263,56 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 # --------------------------------------------------------------------------
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
+
+def q_match_positions(spark, sf_dir):
+    """Q10 highlight: per-occurrence (doc, term, pos) of the phrase
+    terms within the phrase top-10 — read from the positional index
+    only (content never re-tokenized); oracle re-derives positions by
+    tokenizing the fixture text."""
+    from datastream_io_spark.operators.indexed_search import (
+        match_positions,
+        search_indexed,
+    )
+
+    idx = _pos_index(spark, sf_dir)
+    top = search_indexed(spark, idx, "window agg", 10, "phrase").collect()
+    hits = match_positions(spark, idx, "window agg",
+                           [r.doc_id for r in top])
+    docs = spark.read.parquet(os.path.join(idx, "docs")).select(
+        "doc_id", F.substring("path", 5, 32).cast("long").alias("fix_id"))
+    return (
+        hits.join(F.broadcast(docs), "doc_id")
+        .select(F.col("fix_id").alias("doc_id"), "term",
+                F.col("pos").cast("long").alias("pos"))
+    )
+
+
+o_match_positions = (
+    BM25_CTE.format(terms="'window', 'agg'")
+    + """,
+norm AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), t -> t <> '') AS tokens
+  FROM documents
+),
+ph AS (SELECT doc_id FROM norm
+       WHERE contains(' ' || array_to_string(tokens, ' ') || ' ',
+                      ' window agg ')),
+top10 AS (
+  SELECT sc.doc_id FROM sc JOIN ph USING (doc_id)
+  GROUP BY sc.doc_id HAVING count(*) = 2
+  ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+),
+pos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         CAST(generate_subscripts(tokens, 1) - 1 AS BIGINT) AS pos
+  FROM norm
+)
+SELECT doc_id, term, pos FROM pos
+WHERE term IN ('window', 'agg') AND doc_id IN (SELECT doc_id FROM top10)
+"""
+)
+
 
 def q_content_sha256(spark, sf_dir):
     return _docs(spark, sf_dir).select(
@@ -1025,6 +1086,7 @@ QUERIES = {
     "bm25_topk_or": q_bm25_topk_or,
     "bm25_indexed_and": q_bm25_indexed_and,
     "phrase_indexed": q_phrase_indexed,
+    "match_positions": q_match_positions,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -1078,6 +1140,7 @@ ORACLES = {
     "bm25_topk_or": o_bm25_topk_or,
     "bm25_indexed_and": o_bm25_indexed_and,
     "phrase_indexed": o_phrase_indexed,
+    "match_positions": o_match_positions,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
     "agg_pricing_summary": o_agg_pricing_summary,

@@ -425,6 +425,49 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                          "score": scores[sel].astype("float64")})
 
 
+def match_positions(spark: SparkSession, index_dir: str, query: str,
+                    doc_ids: list[int]) -> DataFrame:
+    """Q10 — highlight support: token positions of every query term in
+    the given docs (normally the top-k of a search), from the
+    positional index alone — the original content is never re-read or
+    re-tokenized. One bucket-pruned scan, no shuffle: each posting row
+    emits its matches where it is scanned (mapInPandas), and the
+    term_bucket directories are chosen DRIVER-side via xxhash. Returns
+    DF[doc_id, term, pos] (one row per occurrence)."""
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    if not stats.get("positions", False):
+        raise ValueError(
+            "match_positions needs a positional index — rebuild with "
+            "build_index(..., positions=True)")
+    terms = parse_query(query, stats["tokenizer"])
+    empty = spark.createDataFrame([], "doc_id long, term string, pos int")
+    if not terms or not doc_ids:
+        return empty
+    n_buckets = int(stats["n_buckets"])
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    ids = np.sort(np.asarray(list(doc_ids), np.int64))
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    prows = postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).select("term", "blocks")
+
+    def kernel(it):
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples():
+                docs, poss = _positions_of(ids, list(r.blocks), {}, r.term)
+                if docs.size:
+                    outs.append(pd.DataFrame({
+                        "doc_id": docs, "term": r.term,
+                        "pos": poss.astype("int32")}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return prows.mapInPandas(kernel, "doc_id long, term string, pos int")
+
+
 def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str],
                  n_buckets: int | None = None) -> list:
     """Q2 — dict rows for query terms. The bucket of each term is

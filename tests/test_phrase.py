@@ -120,3 +120,32 @@ def test_old_format_index_rejected(spark, tmp_path):
                    "tokenizer": "simple", "n_splits": 1}, f)
     with pytest.raises(ValueError, match="format"):
         search_indexed(spark, idx, "anything", 5, "and")
+
+
+def test_match_positions_vs_bruteforce(spark, pos_index, pos_pdf):
+    """Q10 highlight: per-occurrence (doc, term, pos) from the index
+    must equal re-tokenizing the original text."""
+    from datastream_io_spark.functions.tokenize import tokenize_simple
+    from datastream_io_spark.operators.indexed_search import match_positions
+
+    q = "window agg scan"
+    top = search_indexed(spark, pos_index, q, 5, "or").collect()
+    ids = [r.doc_id for r in top]
+    got = sorted((r.doc_id, r.term, r.pos) for r in
+                 match_positions(spark, pos_index, q, ids).collect())
+    text_of = dict(zip(pos_pdf["doc_id"], pos_pdf["text"]))
+    exp = sorted(
+        (d, t, p)
+        for d in ids
+        for p, t in enumerate(tokenize_simple(text_of[d]))
+        if t in {"window", "agg", "scan"})
+    assert got == exp
+
+
+def test_match_positions_guards(spark, pos_index, doc_index):
+    from datastream_io_spark.operators.indexed_search import match_positions
+
+    assert match_positions(spark, pos_index, "", [1, 2]).count() == 0
+    assert match_positions(spark, pos_index, "window", []).count() == 0
+    with pytest.raises(ValueError, match="positional"):
+        match_positions(spark, doc_index, "window", [1])
