@@ -264,6 +264,39 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
 
+def q_boolean_search(spark, sf_dir):
+    """Q11 — boolean query language: candidate set from the boolean
+    tree, BM25 ranking over the positive terms."""
+    from datastream_io_spark.operators.boolean_search import search_boolean
+
+    topk = search_boolean(spark, _pos_index(spark, sf_dir),
+                          "window AND (agg OR scan) NOT merge", 10,
+                          with_doc_cols=True)
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+o_boolean_search = (
+    BM25_CTE.format(terms="'window', 'agg', 'scan'")
+    + """,
+sets AS (
+  SELECT doc_id,
+         bool_or(term = 'window') AS h_w,
+         bool_or(term = 'agg') AS h_a,
+         bool_or(term = 'scan') AS h_s,
+         bool_or(term = 'merge') AS h_m
+  FROM tf GROUP BY doc_id
+),
+cand AS (SELECT doc_id FROM sets WHERE h_w AND (h_a OR h_s) AND NOT h_m)
+SELECT sc.doc_id, round(sum(s), 6) AS score
+FROM sc JOIN cand USING (doc_id)
+GROUP BY sc.doc_id ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+"""
+)
+
+
 def q_match_positions(spark, sf_dir):
     """Q10 highlight: per-occurrence (doc, term, pos) of the phrase
     terms within the phrase top-10 — read from the positional index
@@ -1087,6 +1120,7 @@ QUERIES = {
     "bm25_indexed_and": q_bm25_indexed_and,
     "phrase_indexed": q_phrase_indexed,
     "match_positions": q_match_positions,
+    "boolean_search": q_boolean_search,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -1141,6 +1175,7 @@ ORACLES = {
     "bm25_indexed_and": o_bm25_indexed_and,
     "phrase_indexed": o_phrase_indexed,
     "match_positions": o_match_positions,
+    "boolean_search": o_boolean_search,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
     "agg_pricing_summary": o_agg_pricing_summary,

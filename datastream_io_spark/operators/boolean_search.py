@@ -1,0 +1,291 @@
+"""Boolean query language over the inverted index (Q11).
+
+Lucene-flavored surface on top of the Q1–Q10 primitives:
+
+    window AND (agg OR scan) NOT merge
+    "window agg" OR scan            # quoted phrase needs positions
+    parse config                    # bare adjacency = implicit AND
+
+Grammar (recursive descent):
+    expr    := and_expr (OR and_expr)*
+    and_expr:= unary+                # adjacency is implicit AND
+    unary   := NOT unary | primary
+    primary := '(' expr ')' | '"' ... '"' | word
+
+UPPERCASE ``AND`` / ``OR`` / ``NOT`` are operators; lowercase and/or/not
+are ordinary corpus terms (the tokenizer lowercases content, so the
+case split keeps every corpus term reachable). Words run through the
+index's own tokenizer — with the ``code`` chain a camelCase word
+expands to its sub-tokens as an implicit AND, matching plain AND-mode
+search. Negation must be bounded by a positive sibling (``NOT x``
+alone or ``a OR NOT b`` is rejected — the complement of a posting set
+cannot be enumerated without a full corpus scan).
+
+Semantics: the boolean tree selects the candidate set; ranking is
+exact BM25 summed over the query's POSITIVE terms that each candidate
+contains (sorted term order — same determinism contract as Q3).
+
+Execution: one bucket-pruned postings scan over ALL tree terms →
+per-split ``applyInPandas`` kernel evaluates the tree with sorted-array
+set ops (intersect/union/setdiff) over decoded doc ids, applies
+positional phrase filters, exact-scores ≤k survivors → global top-k.
+The AST is plain nested tuples, so the kernel closure pickles cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datastream_io_spark.functions.tokenize import tokenizer_for
+from datastream_io_spark.functions.xxhash import term_bucket
+from datastream_io_spark.operators.build import read_stats
+from datastream_io_spark.operators.codec import decode_block_docs
+from datastream_io_spark.operators.indexed_search import (
+    _check_format,
+    _exact_scores,
+    _phrase_filter,
+)
+
+# AST node shapes (nested tuples — picklable):
+#   ("term", str)
+#   ("phrase", (str, ...))
+#   ("and", (positive_children...), (negated_children...))
+#   ("or", (children...))
+
+
+def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
+    """Query string → AST. Raises ValueError on syntax errors and on
+    unbounded negation."""
+    pure, _ = tokenizer_for(tokenizer)
+    toks: list = []
+    i, n = 0, len(query)
+    while i < n:
+        c = query[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            toks.append(c)
+            i += 1
+        elif c == '"':
+            j = query.find('"', i + 1)
+            j = n if j < 0 else j
+            phrase = tuple(pure(query[i + 1:j]))
+            if phrase:
+                toks.append(("PHRASE", phrase))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not query[j].isspace() and query[j] not in '()"':
+                j += 1
+            w = query[i:j]
+            if w in ("AND", "OR", "NOT"):
+                toks.append(w)
+            else:
+                toks.extend(("TERM", t) for t in pure(w))
+            i = j
+
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def parse_expr():
+        parts = [parse_and()]
+        while peek() == "OR":
+            take()
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else ("or", tuple(parts))
+
+    def parse_and():
+        positives, negatives = [], []
+        while True:
+            t = peek()
+            if t is None or t in (")", "OR"):
+                break
+            if t == "AND":
+                take()
+                continue
+            neg = False
+            while peek() == "NOT":
+                take()
+                neg = not neg
+            node = parse_primary()
+            (negatives if neg else positives).append(node)
+        if not positives and negatives:
+            raise ValueError(
+                "unbounded negation: NOT must be combined with at least "
+                "one positive clause (cannot enumerate a complement)")
+        if not positives:
+            raise ValueError("empty clause")
+        if not negatives and len(positives) == 1:
+            return positives[0]
+        return ("and", tuple(positives), tuple(negatives))
+
+    def parse_primary():
+        t = take()
+        if t == "(":
+            node = parse_expr()
+            if take() != ")":
+                raise ValueError("unbalanced parentheses")
+            return node
+        if isinstance(t, tuple) and t[0] == "PHRASE":
+            return ("phrase", t[1]) if len(t[1]) > 1 else ("term", t[1][0])
+        if isinstance(t, tuple) and t[0] == "TERM":
+            return ("term", t[1])
+        raise ValueError(f"unexpected token {t!r}")
+
+    if not toks:
+        raise ValueError("empty query")
+    node = parse_expr()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing tokens at {toks[pos[0]:]!r}")
+    return node
+
+
+def tree_terms(node: tuple, positive: bool = True) -> tuple[set, set]:
+    """(positive_terms, all_terms) of an AST."""
+    pos_set: set = set()
+    all_set: set = set()
+
+    def walk(nd, is_pos):
+        kind = nd[0]
+        if kind == "term":
+            all_set.add(nd[1])
+            if is_pos:
+                pos_set.add(nd[1])
+        elif kind == "phrase":
+            all_set.update(nd[1])
+            if is_pos:
+                pos_set.update(nd[1])
+        elif kind == "or":
+            for c in nd[1]:
+                walk(c, is_pos)
+        else:  # and
+            for c in nd[1]:
+                walk(c, is_pos)
+            for c in nd[2]:
+                walk(c, False)
+
+    walk(node, positive)
+    return pos_set, all_set
+
+
+def tree_has_phrase(node: tuple) -> bool:
+    kind = node[0]
+    if kind == "phrase":
+        return True
+    if kind == "or":
+        return any(tree_has_phrase(c) for c in node[1])
+    if kind == "and":
+        return any(tree_has_phrase(c) for c in node[1] + node[2])
+    return False
+
+
+def _eval_node(node: tuple, blocks_of: dict, decoded: dict) -> np.ndarray:
+    """AST → sorted candidate doc ids within one split."""
+    kind = node[0]
+    none = np.zeros(0, np.int64)
+    if kind == "term":
+        blocks = blocks_of.get(node[1])
+        if not blocks:
+            return none
+        for j in range(len(blocks)):
+            ck = (node[1], j)
+            if ck not in decoded:
+                decoded[ck] = (decode_block_docs(blocks[j]), None, None)
+        return np.concatenate(
+            [decoded[(node[1], j)][0] for j in range(len(blocks))])
+    if kind == "phrase":
+        cand = None
+        for t in set(node[1]):
+            s = _eval_node(("term", t), blocks_of, decoded)
+            cand = s if cand is None else np.intersect1d(
+                cand, s, assume_unique=True)
+            if cand.size == 0:
+                return none
+        return _phrase_filter(cand, list(node[1]), blocks_of, decoded)
+    if kind == "or":
+        out = none
+        for c in node[1]:
+            out = np.union1d(out, _eval_node(c, blocks_of, decoded))
+        return out
+    # and
+    cand = None
+    for c in node[1]:
+        s = _eval_node(c, blocks_of, decoded)
+        cand = s if cand is None else np.intersect1d(
+            cand, s, assume_unique=True)
+        if cand.size == 0:
+            return none
+    for c in node[2]:
+        if cand.size == 0:
+            return none
+        cand = np.setdiff1d(cand, _eval_node(c, blocks_of, decoded),
+                            assume_unique=True)
+    return cand
+
+
+def search_boolean(spark: SparkSession, index_dir: str, query: str,
+                   k: int = 10, with_doc_cols: bool = False) -> DataFrame:
+    """Q11 — boolean-filtered BM25 top-k over the built index."""
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    tree = parse_boolean(query, stats["tokenizer"])
+    if tree_has_phrase(tree) and not stats.get("positions", False):
+        raise ValueError(
+            "quoted phrases need a positional index — rebuild with "
+            "build_index(..., positions=True)")
+    positives, all_terms = tree_terms(tree)
+    n_buckets = int(stats["n_buckets"])
+    avgdl = float(stats["avgdl"])
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+
+    d = spark.read.parquet(os.path.join(index_dir, "dict"))
+    idf = {
+        r["term"]: float(r["idf"])
+        for r in d.where(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(sorted(positives))).collect()
+    }
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    prows = postings.where(
+        F.col("term_bucket").isin(buckets)
+        & F.col("term").isin(sorted(all_terms))
+    ).select("split_id", "term", "blocks")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
+        decoded: dict = {}
+        cand = _eval_node(tree, blocks_of, decoded)
+        if cand.size == 0:
+            return empty
+        score_rows = [(t, blocks_of[t]) for t in sorted(idf)
+                      if t in blocks_of]
+        scores = _exact_scores(cand, score_rows, idf, avgdl, decoded)
+        m = min(k, cand.size)
+        sel = np.lexsort((cand, -scores))[:m]
+        return pd.DataFrame({"doc_id": cand[sel].astype("int64"),
+                             "score": scores[sel].astype("float64")})
+
+    cand = prows.groupBy("split_id").applyInPandas(
+        kernel, "doc_id long, score double")
+    topk = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_doc_cols:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "doc_id", "repo", "path", "commit", "lang")
+        topk = (docs.join(F.broadcast(topk), "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk

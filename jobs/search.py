@@ -16,20 +16,29 @@ def main(argv: list[str]) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--query", required=True)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--mode", default="and", choices=["and", "or", "phrase"],
-                   help="phrase needs an index built with positions=True")
+    p.add_argument("--mode", default="and",
+                   choices=["and", "or", "phrase", "boolean"],
+                   help="phrase (and quoted phrases in boolean) need an "
+                        "index built with positions=True; boolean parses "
+                        'AND/OR/NOT, parentheses, and "quoted phrases"')
     p.add_argument("--relational", action="store_true",
                    help="also run the index-free relational path (self-oracle)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
+    from datastream_io_spark.operators.boolean_search import search_boolean
     from datastream_io_spark.operators.indexed_search import search_indexed
 
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
-    rows = search_indexed(spark, args.index, args.query, args.k, args.mode,
-                          with_doc_cols=True).collect()
+    if args.mode == "boolean":
+        result = search_boolean(spark, args.index, args.query, args.k,
+                                with_doc_cols=True)
+    else:
+        result = search_indexed(spark, args.index, args.query, args.k,
+                                args.mode, with_doc_cols=True)
+    rows = result.collect()
     dt = time.time() - t0
     for r in rows:
         print(f"{r.score:12.6f}  doc={r.doc_id:<10d} {r.repo}/{r.path}")

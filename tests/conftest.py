@@ -33,6 +33,23 @@ def doc_index(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def pos_index(spark, tmp_path_factory):
+    """Positional documents index (phrase/highlight/boolean suites)."""
+    idx = str(tmp_path_factory.mktemp("pos_index"))
+    corpus = documents_as_corpus(spark, SF0001)
+    build_index(spark, corpus, idx, n_splits=3, n_buckets=8,
+                tokenizer="simple", salt_threshold=50, n_salts=4,
+                positions=True)
+    return idx
+
+
+@pytest.fixture(scope="session")
+def pos_pdf(spark, pos_index):
+    corpus = documents_as_corpus(spark, SF0001)
+    return docs_with_text(spark, pos_index, corpus).toPandas()
+
+
+@pytest.fixture(scope="session")
 def code_corpus(spark):
     return corpus_df(spark, CORPUS_SMALL_N, n_partitions=8)
 

@@ -1,0 +1,129 @@
+"""Q11 boolean query language: parser unit tests + engine-vs-pandas
+brute-force rank identity on the positional documents index."""
+
+import numpy as np
+import pytest
+
+from datastream_io_spark.functions.bm25 import idf_py, tf_norm_py
+from datastream_io_spark.functions.tokenize import tokenize_simple
+from datastream_io_spark.operators.boolean_search import (
+    parse_boolean,
+    search_boolean,
+    tree_terms,
+)
+
+
+def test_parser_shapes():
+    assert parse_boolean("window") == ("term", "window")
+    assert parse_boolean("window agg") == \
+        ("and", (("term", "window"), ("term", "agg")), ())
+    assert parse_boolean("window AND agg") == \
+        ("and", (("term", "window"), ("term", "agg")), ())
+    assert parse_boolean("window OR agg") == \
+        ("or", (("term", "window"), ("term", "agg")))
+    assert parse_boolean("window NOT agg") == \
+        ("and", (("term", "window"),), (("term", "agg"),))
+    assert parse_boolean('"window agg"') == ("phrase", ("window", "agg"))
+    assert parse_boolean('"window"') == ("term", "window")
+    t = parse_boolean("window AND (agg OR scan) NOT merge")
+    assert t == ("and",
+                 (("term", "window"),
+                  ("or", (("term", "agg"), ("term", "scan")))),
+                 (("term", "merge"),))
+    # double negation cancels
+    assert parse_boolean("window NOT NOT agg") == \
+        ("and", (("term", "window"), ("term", "agg")), ())
+    pos, al = tree_terms(t)
+    assert pos == {"window", "agg", "scan"}
+    assert al == {"window", "agg", "scan", "merge"}
+
+
+def test_parser_errors():
+    for bad in ["", "NOT window", "window OR NOT agg", "(window",
+                "window)", "AND"]:
+        with pytest.raises(ValueError):
+            parse_boolean(bad)
+
+
+def _brute_boolean(pdf, query, k=10):
+    """Pandas reference: same candidate semantics + BM25 over positive
+    terms, same corpus statistics the index uses."""
+    tree = parse_boolean(query, "simple")
+    positives, _ = tree_terms(tree)
+    toks = {int(r.doc_id): tokenize_simple(r.text)
+            for r in pdf.itertuples()}
+    sets = {d: set(t) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for s in sets.values() if t in s) for t in positives}
+
+    def matches(d, nd):
+        kind = nd[0]
+        if kind == "term":
+            return nd[1] in sets[d]
+        if kind == "phrase":
+            seq = list(nd[1])
+            s = toks[d]
+            return any(s[p:p + len(seq)] == seq
+                       for p in range(len(s) - len(seq) + 1))
+        if kind == "or":
+            return any(matches(d, c) for c in nd[1])
+        return (all(matches(d, c) for c in nd[1])
+                and not any(matches(d, c) for c in nd[2]))
+
+    out = []
+    for d in toks:
+        if not matches(d, tree):
+            continue
+        score = 0.0
+        dl = len(toks[d])
+        for t in sorted(positives):
+            tf = toks[d].count(t)
+            if tf:
+                score += idf_py(df[t], n) * tf_norm_py(tf, dl, avgdl)
+        out.append((d, score))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
+
+
+BOOL_QUERIES = [
+    "window AND (agg OR scan) NOT merge",
+    '"window agg" OR sort',
+    "window agg",
+    "window OR (scan NOT sort)",
+    "(window OR agg) AND (scan OR merge) NOT (sort OR stream)",
+    'window NOT "agg scan"',
+]
+
+
+def test_boolean_rank_identity_vs_bruteforce(spark, pos_index, pos_pdf):
+    for q in BOOL_QUERIES:
+        exp = _brute_boolean(pos_pdf, q, k=10)
+        got = [(int(r.doc_id), float(r.score)) for r in
+               search_boolean(spark, pos_index, q, 10).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], abs=1e-9), q
+
+
+def test_boolean_equals_plain_modes(spark, pos_index):
+    """Implicit-AND boolean ≡ mode='and'; OR-only ≡ mode='or'."""
+    from datastream_io_spark.operators.indexed_search import search_indexed
+
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         search_boolean(spark, pos_index, "window agg", 10).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         search_indexed(spark, pos_index, "window agg", 10, "and").collect()]
+    assert a == b
+    c = [(r.doc_id, round(r.score, 9)) for r in
+         search_boolean(spark, pos_index, "window OR agg", 10).collect()]
+    d = [(r.doc_id, round(r.score, 9)) for r in
+         search_indexed(spark, pos_index, "window agg", 10, "or").collect()]
+    assert c == d
+
+
+def test_boolean_phrase_needs_positions(spark, doc_index):
+    with pytest.raises(ValueError, match="positional"):
+        search_boolean(spark, doc_index, '"window agg" OR scan', 5)
+    # non-phrase boolean works on a non-positional index
+    assert search_boolean(spark, doc_index, "window NOT agg", 5).count() > 0

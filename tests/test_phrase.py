@@ -15,22 +15,6 @@ from datastream_io_spark.sources.scan import documents_as_corpus
 from tests.conftest import SF0001, docs_with_text
 
 
-@pytest.fixture(scope="module")
-def pos_index(spark, tmp_path_factory):
-    idx = str(tmp_path_factory.mktemp("pos_index"))
-    corpus = documents_as_corpus(spark, SF0001)
-    build_index(spark, corpus, idx, n_splits=3, n_buckets=8,
-                tokenizer="simple", salt_threshold=50, n_salts=4,
-                positions=True)
-    return idx
-
-
-@pytest.fixture(scope="module")
-def pos_pdf(spark, pos_index):
-    corpus = documents_as_corpus(spark, SF0001)
-    return docs_with_text(spark, pos_index, corpus).toPandas()
-
-
 def _check(rows, expected):
     got = [(int(r.doc_id), float(r.score)) for r in rows]
     assert [g[0] for g in got] == [e["doc_id"] for e in expected]
