@@ -264,6 +264,33 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
 
+def q_filtered_search(spark, sf_dir):
+    """Q12 — metadata-filtered top-k: OR search restricted to lang='de'
+    docs. The per-split k-cut and OR θ-pruning are disabled under a
+    filter (a predicate can promote low scorers into the top-k), then
+    exact-scored candidates join the filtered docs before TakeOrdered."""
+    from datastream_io_spark.operators.indexed_search import search_indexed
+
+    topk = search_indexed(spark, _pos_index(spark, sf_dir), "window agg",
+                          10, "or", with_doc_cols=True,
+                          where="lang = 'de'")
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+o_filtered_search = (
+    BM25_CTE.format(terms="'window', 'agg'")
+    + """
+SELECT sc.doc_id, round(sum(s), 6) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE d.lang = 'de'
+GROUP BY sc.doc_id ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+"""
+)
+
+
 def q_boolean_search(spark, sf_dir):
     """Q11 — boolean query language: candidate set from the boolean
     tree, BM25 ranking over the positive terms."""
@@ -1121,6 +1148,7 @@ QUERIES = {
     "phrase_indexed": q_phrase_indexed,
     "match_positions": q_match_positions,
     "boolean_search": q_boolean_search,
+    "filtered_search": q_filtered_search,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -1176,6 +1204,7 @@ ORACLES = {
     "phrase_indexed": o_phrase_indexed,
     "match_positions": o_match_positions,
     "boolean_search": o_boolean_search,
+    "filtered_search": o_filtered_search,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
     "agg_pricing_summary": o_agg_pricing_summary,

@@ -111,7 +111,7 @@ class Searcher:
                              int(self.stats["n_buckets"]))]
 
     def search(self, query: str, k: int = 10, mode: str = "and",
-               with_doc_cols: bool = False) -> DataFrame:
+               with_doc_cols: bool = False, where=None) -> DataFrame:
         if mode not in ("and", "or", "phrase"):
             raise ValueError(
                 f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
@@ -126,7 +126,8 @@ class Searcher:
         buckets = sorted({int(r["term_bucket"]) for r in rows})
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
                           float(self.stats["avgdl"]),
-                          len(terms), k, mode, with_doc_cols, phrase)
+                          len(terms), k, mode, with_doc_cols, phrase,
+                          where)
 
 
 def _check_format(stats: dict, index_dir: str) -> None:
@@ -404,6 +405,19 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         cand = _and_candidates(term_rows, n_terms, decoded)
         if cand.size == 0:
             return empty
+    elif k is None:
+        # filtered OR: θ-pruning is unsound when a later predicate can
+        # evict high scorers, so decode the full union
+        ids = []
+        for term, blocks in term_rows:
+            for j in range(len(blocks)):
+                ck = (term, j)
+                if ck not in decoded:
+                    decoded[ck] = (decode_block_docs(blocks[j]), None, None)
+                ids.append(decoded[ck][0])
+        cand = np.unique(np.concatenate(ids))
+        if cand.size == 0:
+            return empty
     else:
         # OR (and single-term AND ≡ OR): decode-skipping block-max
         cand = _or_candidates(term_rows, idf, avgdl, k, decoded)
@@ -411,6 +425,12 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
             return empty
     scores = _exact_scores(cand, term_rows, idf, avgdl, decoded)
 
+    if k is None:
+        # filtered-search path: a metadata predicate is applied AFTER
+        # this kernel, so the per-split cut must not drop docs the
+        # filter might promote into the top-k — emit every candidate
+        return pd.DataFrame({"doc_id": cand.astype("int64"),
+                             "score": scores.astype("float64")})
     m = min(k, cand.size)
     if cand.size > 4 * k:
         # select everything scoring ≥ the kth score (ALL ties included —
@@ -491,10 +511,20 @@ def search_indexed(
     k: int = 10,
     mode: str = "and",
     with_doc_cols: bool = False,
+    where=None,
 ) -> DataFrame:
     """Q8 — end-to-end indexed top-k BM25 search. ``mode='phrase'``
     ranks by BM25 over the phrase's distinct terms but keeps only docs
-    containing the exact token sequence (positional index required)."""
+    containing the exact token sequence (positional index required).
+
+    ``where`` (SQL expression string or Column over the docs table,
+    e.g. ``"lang = 'py'"``) restricts the top-k to matching docs. A
+    post-kernel predicate can promote arbitrarily-low scorers into the
+    top-k, so filtered search disables the per-split k-cut and OR
+    θ-pruning and joins exact-scored candidates against the filtered
+    docs before the global TakeOrdered — correct for any predicate; at
+    100-TB scale a HOT filter column belongs in the index key instead
+    (one index per lang, same layout), which this API composes with."""
     if mode not in ("and", "or", "phrase"):
         raise ValueError(
             f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
@@ -514,16 +544,17 @@ def search_indexed(
     buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
     return _wand_topk(spark, index_dir, idf, buckets,
                       float(stats["avgdl"]), len(terms), k, mode,
-                      with_doc_cols, phrase)
+                      with_doc_cols, phrase, where)
 
 
 def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
-               mode, with_doc_cols, phrase=None):
+               mode, with_doc_cols, phrase=None, where=None):
     found_terms = sorted(idf)
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     prows = postings.where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(found_terms)
     ).select("split_id", "term", "blocks")
+    kernel_k = None if where is not None else k
 
     if len(found_terms) == 1 and n_terms == 1:
         # single-term fast path: no cross-term alignment needed, so skip
@@ -534,8 +565,8 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
         def kernel1(it):
             for pdf in it:
                 outs = [
-                    _wand_split(pdf.iloc[[i]], idf, avgdl, k, mode, 1,
-                                phrase)
+                    _wand_split(pdf.iloc[[i]], idf, avgdl, kernel_k, mode,
+                                1, phrase)
                     for i in range(len(pdf))
                 ]
                 if outs:
@@ -544,10 +575,17 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
         cand = prows.mapInPandas(kernel1, "doc_id long, score double")
     else:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _wand_split(pdf, idf, avgdl, k, mode, n_terms, phrase)
+            return _wand_split(pdf, idf, avgdl, kernel_k, mode, n_terms,
+                               phrase)
 
         cand = prows.groupBy("split_id").applyInPandas(
             kernel, "doc_id long, score double")
+    if where is not None:
+        allowed = (
+            spark.read.parquet(os.path.join(index_dir, "docs"))
+            .where(where).select("doc_id")
+        )
+        cand = cand.join(allowed, "doc_id")
     topk = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_doc_cols:
         docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(

@@ -189,3 +189,37 @@ def test_or_kernel_matches_full_decode_on_random_corpus():
     out = IX._wand_split(pdf, idf, avgdl, k, "or", len(terms))
     assert list(out["doc_id"]) == [d for d, _ in exp]
     np.testing.assert_allclose(out["score"], [s for _, s in exp], rtol=1e-12)
+
+
+def test_filtered_search_vs_bruteforce(spark, pos_index, pos_pdf):
+    """Q12: where-filtered top-k must equal filtering the full
+    brute-force ranking — including docs the unfiltered per-split cut
+    would have dropped."""
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher,
+        search_indexed,
+    )
+
+    langs = {int(r.doc_id): r.lang for r in
+             spark.read.parquet(f"{pos_index}/docs").collect()}
+    lang = sorted(set(langs.values()))[0]
+    for q, mode in [("window agg", "or"), ("window agg", "and"),
+                    ("window agg", "phrase")]:
+        full = brute_force_topk(pos_pdf, q, k=10**6, mode=mode)
+        exp = [(r["doc_id"], r["score"]) for r in full
+               if langs[r["doc_id"]] == lang][:10]
+        got = [(int(r.doc_id), float(r.score)) for r in
+               search_indexed(spark, pos_index, q, 10, mode,
+                              where=f"lang = '{lang}'").collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], (q, mode)
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], abs=1e-9)
+    # warm Searcher parity
+    s = Searcher(spark, pos_index)
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         s.search("window agg", 10, "or",
+                  where=f"lang = '{lang}'").collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         search_indexed(spark, pos_index, "window agg", 10, "or",
+                        where=f"lang = '{lang}'").collect()]
+    assert a == b
