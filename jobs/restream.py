@@ -39,6 +39,10 @@ def main(argv: list[str]) -> int:
     p.add_argument("--threshold", type=float, default=3.0,
                    help="|score| above which a row is flagged anomalous")
     p.add_argument("--out", required=True, help="scored parquet sink dir")
+    p.add_argument("--metrics-dir", default=None,
+                   help="also run the dashboard metrics sink (dsio's "
+                        "kibana/bokeh counterpart): windowed anomaly "
+                        "metrics feed + latest.json + terminal table")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -78,8 +82,20 @@ def main(argv: list[str]) -> int:
          .option("checkpointLocation", args.out + "_ckpt")
          .outputMode("append")
          .start())
+    mq = None
+    if args.metrics_dir:
+        from datastream_io_spark.streaming.dashboard import (
+            attach_metrics_sink,
+        )
+
+        mq = attach_metrics_sink(
+            stream_fn(read_restream(spark, stage_dir, schema)),
+            args.metrics_dir, score_col, threshold=args.threshold)
     q.processAllAvailable()
     q.stop()
+    if mq is not None:
+        mq.processAllAvailable()
+        mq.stop()
 
     result = spark.read.parquet(args.out)
     n = result.count()
@@ -91,6 +107,10 @@ def main(argv: list[str]) -> int:
         .select("user_id", "event_id", "value",
                 F.round(score_col, 3).alias(score_col)) \
         .show(10, truncate=False)
+    if args.metrics_dir:
+        from datastream_io_spark.streaming.dashboard import render_dashboard
+
+        render_dashboard(spark, args.metrics_dir, n=10)
     return 0
 
 
