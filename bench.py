@@ -100,6 +100,10 @@ def main() -> None:
 
     total = time.time() - t_suite
     p95 = float(np.percentile(np.array(lat_ms), 95))
+    with open(os.path.join(code_idx, "manifest", "merge.json")) as f:
+        merge = json.load(f)
+    bpp = (merge["compressed_bytes"] / merge["n_postings"]
+           if merge.get("n_postings") else 0.0)
     out = {
         "metric": "fulltext_index_build_plus_bm25_topk_suite",
         "value": round(total, 3),
@@ -112,6 +116,8 @@ def main() -> None:
             "corpus_files_per_sec": round(files_per_sec, 2),
             "query_p95_ms": round(p95, 1),
             "n_queries_timed": len(lat_ms),
+            "index_bytes_per_posting": round(bpp, 3),
+            "index_postings": merge.get("n_postings", 0),
         },
     }
     shutil.rmtree(tmp, ignore_errors=True)

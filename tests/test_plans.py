@@ -144,3 +144,27 @@ def test_dict_lookup_prunes_term_buckets(spark, doc_index):
     rows = lookup_terms(spark, doc_index, terms, n_buckets)
     assert {r["term"] for r in rows} == set(terms)
     assert {int(r["term_bucket"]) for r in rows} <= set(buckets)
+
+
+def test_match_positions_plan_is_shuffle_free(spark, pos_index):
+    """Q10 must be a straight pruned-scan → mapInPandas: no Exchange."""
+    from datastream_io_spark.operators.indexed_search import match_positions
+    from datastream_io_spark.plans import executed_plan, plan_summary
+
+    df = match_positions(spark, pos_index, "window agg", [1, 2, 3])
+    assert plan_summary(df)["n_exchanges"] == 0, executed_plan(df)
+    scans = scan_info(df)
+    assert scans and "term_bucket" in scans[0]["PartitionFilters"]
+
+
+def test_boolean_search_scans_are_pruned(spark, pos_index):
+    """Q11 reads only the tree terms' bucket directories (postings AND
+    dict)."""
+    from datastream_io_spark.operators.boolean_search import search_boolean
+
+    df = search_boolean(spark, pos_index,
+                        "window AND (agg OR scan) NOT merge", 10)
+    scans = scan_info(df)
+    assert scans, "no FileScan found"
+    for s in scans:
+        assert "term_bucket" in s["PartitionFilters"], s["raw"]
