@@ -44,10 +44,13 @@ def _next_doc_id(index_dir: str) -> int:
 
 
 def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
-                 index_dir: str, tokenizer: str = "code") -> None:
+                 index_dir: str, tokenizer: str = "code",
+                 positions: bool = False) -> None:
     """foreachBatch handler. Exactly-once: a re-delivered batch_id whose
     manifest says done is a no-op. Doc ids are arrival-ordered (frozen
-    at first delivery via the durable counter)."""
+    at first delivery via the durable counter). ``positions=True``
+    stages per-posting token positions too, so the finalized index
+    answers phrase queries — same opt-in as the batch builder."""
     if M.read_split_manifest(index_dir, batch_id) is not None:
         return
     os.makedirs(index_dir, exist_ok=True)
@@ -69,7 +72,14 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     docs.write.mode("overwrite").parquet(
         os.path.join(index_dir, "docs_staged", f"batch_{batch_id:04d}"))
 
-    tf = P.term_freq(P.doc_terms(tok))
+    if positions:
+        exploded = tok.select(
+            "doc_id", F.posexplode("tokens").alias("pos", "term"))
+        tf = exploded.groupBy("doc_id", "term").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"))
+    else:
+        tf = P.term_freq(P.doc_terms(tok))
     staged = tf.join(docs.select("doc_id", "dl"), "doc_id")
     staged.write.mode("overwrite").parquet(
         os.path.join(index_dir, "tf_staged", f"batch_{batch_id:04d}"))
@@ -139,6 +149,15 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
         list(SEGMENT_SCHEMA.fields) + [T.StructField("split_id", T.IntegerType())]
     )
 
+    with_positions = "positions" in staged.columns
+    if with_positions:
+        n_null = staged.where(F.col("positions").isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"{n_null} staged postings have no positions — batches "
+                "were ingested with mixed positions settings; re-ingest "
+                "consistently (ingest_batch(..., positions=True))")
+
     def _encode_with_split(it):
         # same change-point kernel as build._encode_partitions, with
         # split_id as an extra group key + output column
@@ -156,6 +175,8 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
             ids = pdf["doc_id"].to_numpy()
             tfs = pdf["tf"].to_numpy()
             dls = pdf["dl"].to_numpy()
+            pos_col = (pdf["positions"].to_numpy()
+                       if "positions" in pdf.columns else None)
             change = np.flatnonzero(
                 (terms[1:] != terms[:-1]) | (splits[1:] != splits[:-1])
                 | (salts[1:] != salts[:-1])) + 1
@@ -163,18 +184,23 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
             ends = np.concatenate((change, [len(pdf)]))
             rows = []
             for s, e in zip(starts, ends):
+                flat_pos = (np.concatenate(pos_col[s:e])
+                            if pos_col is not None else None)
                 rows.append((
                     terms[s], int(salts[s]), int(ids[s]), int(ids[e - 1]),
                     int(e - s), int(tfs[s:e].sum()),
-                    encode_blocks(ids[s:e], tfs[s:e], dls[s:e]),
+                    encode_blocks(ids[s:e], tfs[s:e], dls[s:e],
+                                  positions=flat_pos),
                     int(splits[s]),
                 ))
             yield pd.DataFrame(rows, columns=[
                 "term", "salt", "first_doc_id", "last_doc_id",
                 "df_run", "cf_run", "blocks", "split_id"])
 
+    run_cols = ["term", "split_id", "salt", "doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else [])
     runs = (
-        staged.select("term", "split_id", "salt", "doc_id", "tf", "dl")
+        staged.select(*run_cols)
         .repartition(spark.sparkContext.defaultParallelism,
                      "term", "split_id", "salt")
         .sortWithinPartitions("term", "split_id", "salt", "doc_id")
@@ -213,9 +239,73 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
         "n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
         "tokenizer": tokenizer, "k1": K1, "b": B,
         "n_splits": len(bounds), "kind": "streaming",
+        "positions": with_positions,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
         json.dump({"n_terms": dictionary.count()}, f)
+    return stats
+
+
+def compact_stream_index(spark: SparkSession, index_dir: str,
+                         target_splits: int) -> dict:
+    """Compact a finalized streaming index: thousands of per-BATCH
+    posting rows per term → ``target_splits`` coarse rows.
+
+    Long-running ingest leaves one (term, split) posting row per
+    micro-batch, so the per-split query fan-out (and the per-row
+    kernel overhead) grows with batch count. Batch doc-id ranges are
+    arrival-ordered and contiguous, so ADJACENT batches merge into a
+    contiguous coarse range and their runs concat in first_doc_id order
+    — the same pure-Column zero-re-encode merge as finalize (blocks are
+    position-independent; nothing is decoded). Scores, ranks, df/cf/idf
+    are all unchanged; only the split granularity shrinks. The rewrite
+    is atomic (temp dir → rename)."""
+    import shutil
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    bounds = sorted(
+        (int(r["lo"]), int(r["split_id"]))
+        for r in docs.groupBy("split_id").agg(
+            F.min("doc_id").alias("lo")).collect()
+    )
+    n_old = len(bounds)
+    target_splits = max(1, min(target_splits, n_old))
+    group_of = {split: rank * target_splits // n_old
+                for rank, (_, split) in enumerate(bounds)}
+    map_expr = F.create_map(
+        *[F.lit(v) for kv in group_of.items() for v in kv])
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    merged = (
+        postings.withColumn(
+            "split_id", F.element_at(map_expr, F.col("split_id")))
+        .groupBy("term", "term_bucket", "split_id")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.min("first_doc_id").alias("first_doc_id"),
+            F.max("last_doc_id").alias("last_doc_id"),
+            F.flatten(F.transform(
+                F.sort_array(F.collect_list(F.struct("first_doc_id", "blocks"))),
+                lambda x: x["blocks"])).alias("blocks"),
+        )
+        .select("term", "split_id", "df", "cf", "first_doc_id",
+                "last_doc_id", "blocks", "term_bucket")
+    )
+    tmp = os.path.join(index_dir, "_postings_compact_tmp")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (merged.repartition("term_bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
+    old = os.path.join(index_dir, "postings")
+    shutil.rmtree(old)
+    os.replace(tmp, old)
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    stats["n_splits"] = target_splits
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
     return stats

@@ -272,3 +272,90 @@ def test_dashboard_metrics_sink_stream_equals_batch(
     assert snap["anomalies"] == sum(g[2] for g in got)
     table = render_dashboard(spark, out, n=5)
     assert table.count() == len(got)
+
+
+def test_incremental_positional_index_phrase(spark, tmp_path):
+    """ST8 + Q9: a stream-ingested positional index answers phrase
+    queries rank-identically to the brute-force phrase matcher."""
+    n = 120
+    corpus = corpus_df(spark, n, n_partitions=4)
+    src = str(tmp_path / "corpus_stream_pos")
+    schema = stage_restream(corpus, src, n_chunks=3, order_col=None)
+    idx = str(tmp_path / "stream_pos_index")
+    stream = read_restream(spark, src, schema)
+
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: ingest_batch(
+             spark, df, bid, idx, tokenizer="code", positions=True))
+         .option("checkpointLocation", str(tmp_path / "ckpt_pos"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stats = finalize_stream_index(spark, idx, n_buckets=8, tokenizer="code",
+                                  salt_threshold=50, n_salts=4)
+    assert stats["positions"] is True
+
+    docs_pdf = (
+        spark.read.parquet(f"{idx}/docs")
+        .join(corpus, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text"))
+        .toPandas()
+    )
+    for query in ["parse config", "import os"]:
+        expected = brute_force_topk(docs_pdf, query, 10, "phrase",
+                                    tokenizer="code")
+        got = [(r.doc_id, r.score) for r in
+               search_indexed(spark, idx, query, 10, "phrase").collect()]
+        assert [g[0] for g in got] == [e["doc_id"] for e in expected], query
+        for g, e in zip(got, expected):
+            assert g[1] == pytest.approx(e["score"], abs=1e-9)
+
+
+def test_compact_stream_index_preserves_results(spark, tmp_path):
+    """Compaction merges per-batch posting rows into coarse splits with
+    zero re-encode: row count drops, every query answer is identical."""
+    from datastream_io_spark.streaming.incremental import (
+        compact_stream_index,
+    )
+
+    n = 120
+    corpus = corpus_df(spark, n, n_partitions=4)
+    src = str(tmp_path / "corpus_stream_c")
+    schema = stage_restream(corpus, src, n_chunks=6, order_col=None)
+    idx = str(tmp_path / "stream_c_index")
+    stream = read_restream(spark, src, schema)
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: ingest_batch(
+             spark, df, bid, idx, tokenizer="code", positions=True))
+         .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    finalize_stream_index(spark, idx, n_buckets=8, tokenizer="code")
+
+    queries = [("parseConfig", "and"), ("import os error", "or"),
+               ("parse config", "phrase")]
+    before = {
+        (t, m): [(r.doc_id, round(r.score, 9)) for r in
+                 search_indexed(spark, idx, t, 10, m).collect()]
+        for t, m in queries
+    }
+    rows_before = spark.read.parquet(f"{idx}/postings").count()
+    stats = compact_stream_index(spark, idx, target_splits=2)
+    assert stats["n_splits"] == 2
+    rows_after = spark.read.parquet(f"{idx}/postings").count()
+    assert rows_after < rows_before
+    # coarse split doc ranges must stay disjoint (the merge invariant)
+    pr = spark.read.parquet(f"{idx}/postings").groupBy("split_id").agg(
+        F.min("first_doc_id").alias("lo"),
+        F.max("last_doc_id").alias("hi")).orderBy("lo").collect()
+    for a, b in zip(pr, pr[1:]):
+        assert a.hi < b.lo
+    for (t, m), exp in before.items():
+        got = [(r.doc_id, round(r.score, 9)) for r in
+               search_indexed(spark, idx, t, 10, m).collect()]
+        assert got == exp, (t, m)
