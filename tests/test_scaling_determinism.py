@@ -28,6 +28,9 @@ def _results(spark, idx):
     for q, mode in CODE_QUERIES[:4]:
         rows = search_indexed(spark, idx, q, K, mode).collect()
         out.append([(r.doc_id, r.score) for r in rows])
+    for q in ["parse config", "import os"]:  # positional determinism too
+        rows = search_indexed(spark, idx, q, K, "phrase").collect()
+        out.append([(r.doc_id, r.score) for r in rows])
     return out
 
 
@@ -41,7 +44,8 @@ def test_index_and_results_invariant_to_parallelism(spark, tmp_path):
             corpus = corpus_df(spark, N, n_partitions=nparts)
             idx = str(tmp_path / name)
             build_index(spark, corpus, idx, n_splits=3, n_buckets=8,
-                        tokenizer="code", salt_threshold=100, n_salts=4)
+                        tokenizer="code", salt_threshold=100, n_salts=4,
+                        positions=True)
             fps.append(_fingerprint(spark, idx))
             results.append(_results(spark, idx))
         assert fps[0] == fps[1], "index bytes differ across parallelism"
