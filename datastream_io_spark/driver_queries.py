@@ -340,8 +340,9 @@ def q_match_positions(spark, sf_dir):
                            [r.doc_id for r in top])
     docs = spark.read.parquet(os.path.join(idx, "docs")).select(
         "doc_id", F.substring("path", 5, 32).cast("long").alias("fix_id"))
+    # hits is the tiny side (positions of ≤10 docs) — broadcast IT
     return (
-        hits.join(F.broadcast(docs), "doc_id")
+        docs.join(F.broadcast(hits), "doc_id")
         .select(F.col("fix_id").alias("doc_id"), "term",
                 F.col("pos").cast("long").alias("pos"))
     )

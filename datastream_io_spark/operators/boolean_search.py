@@ -86,7 +86,13 @@ def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
             if w in ("AND", "OR", "NOT"):
                 toks.append(w)
             else:
-                toks.extend(("TERM", t) for t in pure(w))
+                # a WORD stays ONE token even when the tokenizer expands
+                # it (camelCase → sub-tokens): it parses to a conjunction
+                # group, so `NOT parseConfig` negates the whole word
+                # instead of leaking sub-tokens into the positive clause
+                ts = tuple(pure(w))
+                if ts:
+                    toks.append(("WORD", ts))
             i = j
 
     pos = [0]
@@ -140,8 +146,10 @@ def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
             return node
         if isinstance(t, tuple) and t[0] == "PHRASE":
             return ("phrase", t[1]) if len(t[1]) > 1 else ("term", t[1][0])
-        if isinstance(t, tuple) and t[0] == "TERM":
-            return ("term", t[1])
+        if isinstance(t, tuple) and t[0] == "WORD":
+            if len(t[1]) == 1:
+                return ("term", t[1][0])
+            return ("and", tuple(("term", s) for s in t[1]), ())
         raise ValueError(f"unexpected token {t!r}")
 
     if not toks:

@@ -108,6 +108,17 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
+def blocks_bytes_col(col: str = "blocks"):
+    """Compressed payload bytes of a blocks column (all four streams) —
+    the ONE definition shared by the build lineage metrics, the tests'
+    recount, and jobs/inspect_index.py, so they can never drift."""
+    return F.aggregate(
+        col, F.lit(0).cast("long"),
+        lambda acc, b: acc + F.length(b["docs"]) + F.length(b["tfs"])
+        + F.length(b["dls"]) + F.coalesce(F.length(b["poss"]), F.lit(0)),
+    )
+
+
 def _stats_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stats.json")
 
@@ -294,25 +305,25 @@ def build_segment(
         "content", mode=tokenizer, use_udf=True,
     ).select("doc_id", "tokens")
     with_positions = bool(info.get("positions", False))
+    # persisted: three downstream actions (hot-set broadcast build, the
+    # segment write, the dl side-table write) would otherwise each
+    # replay the tokenize UDF — measured as 3× the split job's cost
     if with_positions:
         exploded = tok.select(
             "doc_id",
             F.size("tokens").cast("long").alias("dl"),
             F.posexplode("tokens").alias("pos", "term"),
         )
-        aggs = [F.count("*").alias("tf"), F.first("dl").alias("dl"),
-                F.sort_array(F.collect_list("pos")).alias("positions")]
+        tf = P.term_freq_positional(
+            exploded, extra_aggs=(F.first("dl").alias("dl"),)).persist()
     else:
         exploded = tok.select(
             "doc_id",
             F.size("tokens").cast("long").alias("dl"),
             F.explode("tokens").alias("term"),
         )
-        aggs = [F.count("*").alias("tf"), F.first("dl").alias("dl")]
-    # persisted: three downstream actions (hot-set broadcast build, the
-    # segment write, the dl side-table write) would otherwise each
-    # replay the tokenize UDF — measured as 3× the split job's cost
-    tf = exploded.groupBy("doc_id", "term").agg(*aggs).persist()
+        tf = exploded.groupBy("doc_id", "term").agg(
+            F.count("*").alias("tf"), F.first("dl").alias("dl")).persist()
     try:
         # C4 — in-split hot terms get range-salted over the split's
         # contiguous doc range so encode groups cap at ~count/n_salts docs
@@ -362,12 +373,7 @@ def build_segment(
             F.sum("df_run").alias("n_postings"),
             F.countDistinct("term").alias("n_terms"),
             F.sum("cf_run").alias("cf"),
-            F.sum(F.aggregate(
-                "blocks", F.lit(0).cast("long"),
-                lambda acc, b: acc + F.length(b["docs"]) + F.length(b["tfs"])
-                + F.length(b["dls"])
-                + F.coalesce(F.length(b["poss"]), F.lit(0)),
-            )).alias("compressed_bytes"),
+            F.sum(blocks_bytes_col("blocks")).alias("compressed_bytes"),
         )
         .crossJoin(ddl_done.agg(F.count("*").alias("n_docs_tok"),
                                 F.sum("dl").alias("sum_dl")))

@@ -46,6 +46,21 @@ def term_freq(terms_df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     return terms_df.groupBy(doc_col, "term").agg(F.count("*").alias("tf"))
 
 
+def doc_pos_terms(tok_df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """T2 (positional) — one row per (doc, pos, term) occurrence."""
+    return tok_df.select(doc_col, F.posexplode("tokens").alias("pos", "term"))
+
+
+def term_freq_positional(pos_terms_df: DataFrame, doc_col: str = "doc_id",
+                         extra_aggs: tuple = ()) -> DataFrame:
+    """T3 (positional) — tf + sorted position list per (doc, term).
+    Shared by the batch split builder and the streaming ingest so the
+    position semantics can never diverge between the two paths."""
+    return pos_terms_df.groupBy(doc_col, "term").agg(
+        F.count("*").alias("tf"), *extra_aggs,
+        F.sort_array(F.collect_list("pos")).alias("positions"))
+
+
 def doc_len(tok_df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     """T4 — tokens per doc, computed from the array (no extra shuffle)."""
     return tok_df.select(doc_col, F.size("tokens").cast("long").alias("dl"))

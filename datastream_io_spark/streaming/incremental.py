@@ -73,11 +73,7 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         os.path.join(index_dir, "docs_staged", f"batch_{batch_id:04d}"))
 
     if positions:
-        exploded = tok.select(
-            "doc_id", F.posexplode("tokens").alias("pos", "term"))
-        tf = exploded.groupBy("doc_id", "term").agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"))
+        tf = P.term_freq_positional(P.doc_pos_terms(tok))
     else:
         tf = P.term_freq(P.doc_terms(tok))
     staged = tf.join(docs.select("doc_id", "dl"), "doc_id")
@@ -112,7 +108,11 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"])
 
-    staged = spark.read.parquet(*_batch_dirs("tf_staged"))
+    # mergeSchema: without it Spark infers from ONE batch's footer, so a
+    # positions-less batch could silently hide every other batch's
+    # positions column from the mixed-ingest guard below
+    staged = (spark.read.option("mergeSchema", "true")
+              .parquet(*_batch_dirs("tf_staged")))
     staged = staged.join(
         docs.select("doc_id", "split_id"), "doc_id"
     )
@@ -260,11 +260,24 @@ def compact_stream_index(spark: SparkSession, index_dir: str,
     contiguous coarse range and their runs concat in first_doc_id order
     — the same pure-Column zero-re-encode merge as finalize (blocks are
     position-independent; nothing is decoded). Scores, ranks, df/cf/idf
-    are all unchanged; only the split granularity shrinks. The rewrite
-    is atomic (temp dir → rename)."""
+    are all unchanged; only the split granularity shrinks. docs/ is
+    remapped to the same coarse split ids, so compaction composes
+    (compact again later as more batches arrive). Each directory swap
+    is rename-aside → rename-in → delete-aside, so a crash at any point
+    leaves either the old or the new directory in place, never
+    neither."""
     import shutil
 
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    def _swap_in(path: str, tmp: str) -> None:
+        aside = path + "_old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.replace(path, aside)
+        os.replace(tmp, path)
+        shutil.rmtree(aside)
+
+    docs_path = os.path.join(index_dir, "docs")
+    docs = spark.read.parquet(docs_path)
     bounds = sorted(
         (int(r["lo"]), int(r["split_id"]))
         for r in docs.groupBy("split_id").agg(
@@ -299,9 +312,16 @@ def compact_stream_index(spark: SparkSession, index_dir: str,
         shutil.rmtree(tmp)
     (merged.repartition("term_bucket").sortWithinPartitions("term")
      .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
-    old = os.path.join(index_dir, "postings")
-    shutil.rmtree(old)
-    os.replace(tmp, old)
+
+    docs_tmp = os.path.join(index_dir, "_docs_compact_tmp")
+    if os.path.exists(docs_tmp):
+        shutil.rmtree(docs_tmp)
+    (docs.withColumn("split_id",
+                     F.element_at(map_expr, F.col("split_id")))
+     .write.mode("overwrite").parquet(docs_tmp))
+
+    _swap_in(os.path.join(index_dir, "postings"), tmp)
+    _swap_in(docs_path, docs_tmp)
 
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)

@@ -40,18 +40,15 @@ def main(argv: list[str]) -> int:
         if k in stats:
             print(f"  {k:12} {stats[k]}")
 
+    from datastream_io_spark.operators.build import blocks_bytes_col
+
     post = spark.read.parquet(os.path.join(idx, "postings"))
     sizes = (
         post.groupBy("term_bucket")
         .agg(F.count("*").alias("rows"),
              F.countDistinct("term").alias("terms"),
              F.sum("df").alias("postings"),
-             F.sum(F.aggregate(
-                 "blocks", F.lit(0).cast("long"),
-                 lambda a, b: a + F.length(b["docs"]) + F.length(b["tfs"])
-                 + F.length(b["dls"])
-                 + F.coalesce(F.length(b["poss"]), F.lit(0)),
-             )).alias("bytes"))
+             F.sum(blocks_bytes_col("blocks")).alias("bytes"))
         .orderBy("term_bucket")
     )
     print("\nper term_bucket:")

@@ -77,27 +77,34 @@ def main(argv: list[str]) -> int:
     scored = stream_fn(stream).withColumn(
         "is_anomaly", F.abs(F.col(score_col)) > args.threshold)
 
-    q = (scored.writeStream.format("parquet")
-         .option("path", args.out)
-         .option("checkpointLocation", args.out + "_ckpt")
-         .outputMode("append")
-         .start())
-    mq = None
     if args.metrics_dir:
-        from datastream_io_spark.streaming.dashboard import (
-            attach_metrics_sink,
-        )
+        # ONE pass: the stateful detector runs once; each micro-batch is
+        # both persisted (idempotent per-batch overwrite dir) and folded
+        # into the dashboard metrics feed
+        from datastream_io_spark.streaming.dashboard import metrics_sink
 
-        mq = attach_metrics_sink(
-            stream_fn(read_restream(spark, stage_dir, schema)),
-            args.metrics_dir, score_col, threshold=args.threshold)
+        def sink_both(batch_df, batch_id: int) -> None:
+            batch_df.persist()
+            batch_df.write.mode("overwrite").parquet(
+                f"{args.out}/batch_{int(batch_id):04d}")
+            metrics_sink(spark, batch_df, batch_id, args.metrics_dir,
+                         score_col, threshold=args.threshold)
+            batch_df.unpersist()
+
+        q = (scored.writeStream.foreachBatch(sink_both)
+             .option("checkpointLocation", args.out + "_ckpt")
+             .outputMode("append").start())
+    else:
+        q = (scored.writeStream.format("parquet")
+             .option("path", args.out)
+             .option("checkpointLocation", args.out + "_ckpt")
+             .outputMode("append")
+             .start())
     q.processAllAvailable()
     q.stop()
-    if mq is not None:
-        mq.processAllAvailable()
-        mq.stop()
 
-    result = spark.read.parquet(args.out)
+    result = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(args.out))
     n = result.count()
     n_anom = result.where("is_anomaly").count()
     print(f"scored {n} rows, {n_anom} anomalies "

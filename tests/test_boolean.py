@@ -127,3 +127,21 @@ def test_boolean_phrase_needs_positions(spark, doc_index):
         search_boolean(spark, doc_index, '"window agg" OR scan', 5)
     # non-phrase boolean works on a non-positional index
     assert search_boolean(spark, doc_index, "window NOT agg", 5).count() > 0
+
+
+def test_not_binds_whole_multi_token_word():
+    """A camelCase word after NOT negates its entire expansion; none of
+    its sub-tokens may leak into the positive clause (r2 review bug)."""
+    t = parse_boolean("error NOT parseConfig", "code")
+    assert t == ("and",
+                 (("term", "error"),),
+                 (("and", (("term", "parseconfig"), ("term", "parse"),
+                           ("term", "config")), ()),))
+    pos, al = tree_terms(t)
+    assert pos == {"error"}
+    assert al == {"error", "parseconfig", "parse", "config"}
+    # positive multi-token word is a conjunction group (same AND semantics)
+    t2 = parse_boolean("parseConfig OR error", "code")
+    assert t2[0] == "or"
+    assert t2[1][0] == ("and", (("term", "parseconfig"), ("term", "parse"),
+                                ("term", "config")), ())

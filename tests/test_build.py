@@ -81,10 +81,10 @@ def test_manifest_metrics_match_recount(spark, doc_index):
     import json
     with open(f"{doc_index}/manifest/merge.json") as f:
         merge = json.load(f)
+    from datastream_io_spark.operators.build import blocks_bytes_col
+
     recount = spark.read.parquet(f"{doc_index}/postings").agg(
-        F.sum(F.aggregate("blocks", F.lit(0).cast("long"),
-                          lambda acc, b: acc + F.length(b["docs"])
-                          + F.length(b["tfs"]) + F.length(b["dls"])))
+        F.sum(blocks_bytes_col("blocks"))
     ).collect()[0][0]
     assert merge["compressed_bytes"] == recount > 0
 
