@@ -145,3 +145,63 @@ def test_not_binds_whole_multi_token_word():
     assert t2[0] == "or"
     assert t2[1][0] == ("and", (("term", "parseconfig"), ("term", "parse"),
                                 ("term", "config")), ())
+
+
+def test_parser_random_roundtrip_semantics():
+    """Property: render a random boolean AST to query text, parse it
+    back, and both trees must select the same docs over random corpora
+    (parse ∘ render ≡ id up to semantics)."""
+    import random
+
+    rng = random.Random(17)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+
+    def rand_tree(depth):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            return ("term", rng.choice(vocab))
+        if r < 0.55:
+            n = rng.randint(2, 3)
+            return ("phrase", tuple(rng.choice(vocab) for _ in range(n)))
+        if r < 0.75:
+            return ("or", tuple(rand_tree(depth + 1)
+                                for _ in range(rng.randint(2, 3))))
+        pos = tuple(rand_tree(depth + 1)
+                    for _ in range(rng.randint(1, 2)))
+        neg = tuple(rand_tree(depth + 1)
+                    for _ in range(rng.randint(1, 2)))
+        return ("and", pos, neg)
+
+    def render(nd):
+        kind = nd[0]
+        if kind == "term":
+            return nd[1]
+        if kind == "phrase":
+            return '"' + " ".join(nd[1]) + '"'
+        if kind == "or":
+            return "(" + " OR ".join(render(c) for c in nd[1]) + ")"
+        pos = " AND ".join(render(c) for c in nd[1])
+        neg = "".join(f" NOT {render(c)}" for c in nd[2])
+        return "(" + pos + neg + ")"
+
+    def matches(stream, nd):
+        kind = nd[0]
+        if kind == "term":
+            return nd[1] in stream
+        if kind == "phrase":
+            seq = list(nd[1])
+            return any(stream[p:p + len(seq)] == seq
+                       for p in range(len(stream) - len(seq) + 1))
+        if kind == "or":
+            return any(matches(stream, c) for c in nd[1])
+        return (all(matches(stream, c) for c in nd[1])
+                and not any(matches(stream, c) for c in nd[2]))
+
+    docs = [[rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+            for _ in range(200)]
+    for _ in range(60):
+        tree = rand_tree(0)
+        parsed = parse_boolean(render(tree), "simple")
+        for s in docs:
+            assert matches(s, tree) == matches(s, parsed), \
+                (render(tree), parsed, s)
