@@ -1089,14 +1089,18 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """rows-only: binary media column → mapInPandas feature extraction
-    (decode stubbed — no codecs in container; plumbing real)."""
+    """rows-only: binary media column → mapInPandas resize → feature
+    extraction (decode stubbed — no codecs in container; the resize
+    index math and all plumbing are real and composition-tested)."""
     from datastream_io_spark.operators.multimodal import (
         extract_features,
+        resize_media,
         synth_media_df,
     )
 
-    return extract_features(synth_media_df(spark, n=64)).drop("feat")
+    return extract_features(
+        resize_media(synth_media_df(spark, n=64), target_w=6, target_h=4)
+    ).drop("feat")
 
 
 # --------------------------------------------------------------------------

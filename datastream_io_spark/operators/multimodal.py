@@ -102,6 +102,41 @@ def extract_features(media: DataFrame, feat_dim: int = 8,
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, target_w: int, target_h: int,
+                 use_real_decoder: bool = False) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, per Arrow batch
+    (the task brief's resize op). The RESIZE math is real numpy index
+    sampling; only the byte→pixels decode is the stubbed step (same
+    guard as extract_features). Output keeps the media schema with the
+    payload replaced and meta updated, so resize composes with
+    extract_features / frame_sample_plan downstream."""
+    if use_real_decoder:
+        raise NotImplementedError(
+            "no media codecs in this container — plug a real decoder "
+            "into _fake_decode's slot and delete this guard")
+
+    def fn(it):
+        for pdf in it:
+            payloads, metas = [], []
+            for payload, meta_s in zip(pdf["payload"], pdf["meta"]):
+                meta = json.loads(meta_s)
+                img = _fake_decode(payload, meta)
+                ys = np.linspace(0, img.shape[0] - 1, target_h).round()
+                xs = np.linspace(0, img.shape[1] - 1, target_w).round()
+                out = img[ys.astype(np.int64)][:, xs.astype(np.int64)]
+                payloads.append(out.tobytes())
+                metas.append(json.dumps({**meta, "width": target_w,
+                                         "height": target_h}))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    return media.mapInPandas(fn, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: pure Column ops computing which
     frame offsets a decoder would extract (the decode itself is the
