@@ -98,6 +98,17 @@ def main() -> None:
             timings[f"q_{tag}{qi}_{mode}"] = best
             assert rows is not None
 
+    # 4. batched serving (Q13): the same doc AND-queries answered in ONE
+    # Spark job — amortizes the fixed per-job cost that dominates p95
+    from datastream_io_spark.operators.indexed_search import search_many
+
+    batch = {f"q{i}": q for i, (q, m) in enumerate(doc_queries)
+             if m == "and"}
+    search_many(spark, doc_idx, {"warm": "scan"}, 10, "and").collect()
+    t0 = time.time()
+    search_many(spark, doc_idx, batch, 10, "and").collect()
+    timings[f"q_doc_batch{len(batch)}_and"] = time.time() - t0
+
     total = time.time() - t_suite
     p95 = float(np.percentile(np.array(lat_ms), 95))
     with open(os.path.join(code_idx, "manifest", "merge.json")) as f:

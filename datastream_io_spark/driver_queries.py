@@ -264,6 +264,48 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
 
+def q_search_many(spark, sf_dir):
+    """Q13 — batched serving: two AND queries answered in ONE Spark job
+    (shared postings scan + per-split decode cache); each query's rows
+    equal its individual search (measured ~4.6x throughput at batch=8)."""
+    from datastream_io_spark.operators.indexed_search import search_many
+
+    idx = _pos_index(spark, sf_dir)
+    res = search_many(spark, idx, {"q1": "window agg", "q2": "scan merge"},
+                      k=10, mode="and")
+    docs = spark.read.parquet(os.path.join(idx, "docs")).select(
+        "doc_id", F.substring("path", 5, 32).cast("long").alias("fix_id"))
+    return (
+        docs.join(F.broadcast(res), "doc_id")
+        .select("query_id", F.col("fix_id").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
+o_search_many = (
+    BM25_CTE.format(terms="'agg', 'window'")
+    + """,
+r1 AS (
+  SELECT 'q1' AS query_id, doc_id, round(sum(s), 6) AS score
+  FROM sc GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY sum(s) DESC, doc_id LIMIT 10
+),
+sc2 AS (SELECT tf.doc_id,
+               ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+        FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+        WHERE tf.term IN ('merge', 'scan')),
+r2 AS (
+  SELECT 'q2' AS query_id, doc_id, round(sum(s), 6) AS score
+  FROM sc2 GROUP BY doc_id HAVING count(*) = 2
+  ORDER BY sum(s) DESC, doc_id LIMIT 10
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+"""
+)
+
+
 def q_filtered_search(spark, sf_dir):
     """Q12 — metadata-filtered top-k: OR search restricted to lang='de'
     docs. The per-split k-cut and OR θ-pruning are disabled under a
@@ -1154,6 +1196,7 @@ QUERIES = {
     "match_positions": q_match_positions,
     "boolean_search": q_boolean_search,
     "filtered_search": q_filtered_search,
+    "search_many": q_search_many,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -1210,6 +1253,7 @@ ORACLES = {
     "match_positions": o_match_positions,
     "boolean_search": o_boolean_search,
     "filtered_search": o_filtered_search,
+    "search_many": o_search_many,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
     "agg_pricing_summary": o_agg_pricing_summary,

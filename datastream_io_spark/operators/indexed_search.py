@@ -377,12 +377,18 @@ def _and_candidates(term_rows: list, n_terms: int,
 
 def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k: int, mode: str, n_terms: int,
-                phrase: list[str] | None = None) -> pd.DataFrame:
-    """Q7 kernel: one document-range split → ≤k exact-scored candidates."""
+                phrase: list[str] | None = None,
+                term_rows: list | None = None,
+                decoded: dict | None = None) -> pd.DataFrame:
+    """Q7 kernel: one document-range split → ≤k exact-scored candidates.
+    ``term_rows``/``decoded`` can be injected by the multi-query driver
+    (Q13) so block decodes are shared across the batch's queries."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
-    term_rows = [(r.term, list(r.blocks)) for r in pdf.itertuples()]
-    decoded: dict = {}
+    if term_rows is None:
+        term_rows = [(r.term, list(r.blocks)) for r in pdf.itertuples()]
+    if decoded is None:
+        decoded = {}
 
     if mode == "phrase":
         if len(term_rows) < n_terms:
@@ -486,6 +492,90 @@ def match_positions(spark: SparkSession, index_dir: str, query: str,
                 yield pd.concat(outs, ignore_index=True)
 
     return prows.mapInPandas(kernel, "doc_id long, term string, pos int")
+
+
+def search_many(spark: SparkSession, index_dir: str,
+                queries: dict[str, str], k: int = 10,
+                mode: str = "and") -> DataFrame:
+    """Q13 — batched serving: answer MANY queries in ONE Spark job.
+
+    A single-query search pays a fixed job-launch cost (~hundreds of ms
+    in local mode, scheduler round-trips on a cluster); a serving
+    workload should amortize it. One bucket-pruned postings scan covers
+    the UNION of all query terms; inside each split the per-query
+    kernels share one block-decode cache, so overlapping terms decode
+    once for the whole batch. Returns DF[query_id, doc_id, score] with
+    per-query (score desc, doc_id asc) top-k — each query's rows are
+    identical to its individual ``search_indexed`` answer."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    avgdl = float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+
+    parsed = {qid: parse_query(q, stats["tokenizer"])
+              for qid, q in queries.items()}
+    all_terms = sorted({t for ts in parsed.values() for t in ts})
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id long, score double")
+    if not all_terms:
+        return empty
+    dict_rows = lookup_terms(spark, index_dir, all_terms, n_buckets)
+    idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
+    plans = {}  # qid -> (idf subset, n_terms)
+    for qid, terms in parsed.items():
+        found = {t: idf_all[t] for t in terms if t in idf_all}
+        if not terms or not found:
+            continue
+        if mode == "and" and len(found) < len(terms):
+            continue  # a term is absent from the corpus
+        plans[qid] = (found, len(terms))
+    if not plans:
+        return empty
+    buckets = sorted({term_bucket(t, n_buckets) for fi, _ in plans.values()
+                      for t in fi})
+    needed = sorted({t for fi, _ in plans.values() for t in fi})
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    prows = postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(needed)
+    ).select("split_id", "term", "blocks")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows_by_term = {r.term: (r.term, list(r.blocks))
+                        for r in pdf.itertuples()}
+        decoded: dict = {}  # shared across the batch's queries
+        outs = []
+        for qid, (idf_q, n_terms) in plans.items():
+            term_rows = [rows_by_term[t] for t in sorted(idf_q)
+                         if t in rows_by_term]
+            if not term_rows:
+                continue
+            out = _wand_split(pdf, idf_q, avgdl, k, mode, n_terms,
+                              term_rows=term_rows, decoded=decoded)
+            if len(out):
+                out.insert(0, "query_id", qid)
+                outs.append(out)
+        if not outs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="object"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = prows.groupBy("split_id").applyInPandas(
+        kernel, "query_id string, doc_id long, score double")
+    # per-query candidates are ≤ k × n_splits rows — the rank window is
+    # over a tiny set, not the corpus
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k).drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str],

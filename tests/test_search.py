@@ -223,3 +223,26 @@ def test_filtered_search_vs_bruteforce(spark, pos_index, pos_pdf):
          search_indexed(spark, pos_index, "window agg", 10, "or",
                         where=f"lang = '{lang}'").collect()]
     assert a == b
+
+
+def test_search_many_matches_individual(spark, doc_index):
+    """Q13: every query answered by the one-job batch path must equal
+    its individual search_indexed answer; unknown-term AND queries are
+    absent from the output."""
+    from datastream_io_spark.operators.indexed_search import (
+        search_indexed,
+        search_many,
+    )
+
+    queries = {"q1": "window agg", "q2": "scan", "q3": "merge sort window",
+               "q4": "zzznope window"}
+    for mode in ("and", "or"):
+        batch = search_many(spark, doc_index, queries, k=10, mode=mode)
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r.query_id, []).append(
+                (r.doc_id, round(r.score, 9)))
+        for qid, q in queries.items():
+            exp = [(r.doc_id, round(r.score, 9)) for r in
+                   search_indexed(spark, doc_index, q, 10, mode).collect()]
+            assert got.get(qid, []) == exp, (qid, mode)
