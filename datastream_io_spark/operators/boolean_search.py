@@ -49,6 +49,8 @@ from datastream_io_spark.operators.indexed_search import (
     _check_format,
     _exact_scores,
     _phrase_filter,
+    global_topk,
+    postings_rows,
 )
 
 # AST node shapes (nested tuples — picklable):
@@ -266,11 +268,7 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
             & F.col("term").isin(sorted(positives))).collect()
     }
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    prows = postings.where(
-        F.col("term_bucket").isin(buckets)
-        & F.col("term").isin(sorted(all_terms))
-    ).select("split_id", "term", "blocks")
+    prows = postings_rows(spark, index_dir, buckets, sorted(all_terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -290,10 +288,4 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "doc_id long, score double")
-    topk = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    if with_doc_cols:
-        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-            "doc_id", "repo", "path", "commit", "lang")
-        topk = (docs.join(F.broadcast(topk), "doc_id")
-                .orderBy(F.desc("score"), F.asc("doc_id")))
-    return topk
+    return global_topk(spark, index_dir, cand, k, with_doc_cols)

@@ -175,8 +175,10 @@ def stage_corpus(
     # the staged bytes (hence the whole index) vary across parallelism —
     # pick max(content_sha256) instead (any total order works)
     hashed = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    # lang joins the tie-break: same-content duplicates with different
+    # metadata must also pick one deterministic survivor
     w_dedup = Window.partitionBy("repo", "path", "commit").orderBy(
-        F.desc("content_sha256"))
+        F.desc("content_sha256"), F.desc("lang"))
     deduped = (
         hashed.withColumn("_rn", F.row_number().over(w_dedup))
         .where(F.col("_rn") == 1).drop("_rn")

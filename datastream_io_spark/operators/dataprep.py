@@ -131,13 +131,24 @@ def _minhash_params(n_hashes: int, seed: int = 7):
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
+_MAX_TOKEN_BYTES = 64
+
+
 def _hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64-bit over an |S|-dtype (padded bytes) array —
     one numpy pass per BYTE POSITION, never per token. Deterministic
     across processes (Python's builtin hash() is salted per process,
-    and a per-token hashlib call was the r1 hot-loop offender)."""
+    and a per-token hashlib call was the r1 hot-loop offender).
+
+    Tokens are capped at ``_MAX_TOKEN_BYTES``: the padded byte matrix is
+    n_tokens × width, so one pathological 50KB minified/base64 token
+    would otherwise balloon the whole batch's memory and the per-byte
+    loop count. Tokens sharing a 64-byte prefix hash alike — acceptable
+    for near-dup sketching (documented cap, not a correctness surface)."""
     if tokens.size == 0:
         return np.zeros(0, np.uint64)
+    if tokens.dtype.itemsize > _MAX_TOKEN_BYTES:
+        tokens = tokens.astype(f"S{_MAX_TOKEN_BYTES}")  # vectorized truncate
     width = tokens.dtype.itemsize
     b = np.frombuffer(tokens.tobytes(), np.uint8).reshape(tokens.size, width)
     h = np.full(tokens.size, _FNV_OFFSET)
@@ -190,8 +201,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32,
                      for t in texts]
         # numpy |S| strips trailing NULs, so empty docs get a 1-element
         # placeholder array and an explicit flag (not a magic token)
+        # cap at array creation: the batch-wide concat pads every token
+        # to the max width, so one giant token must never set it
         per_doc = [
-            np.unique(np.array(tk, dtype=np.bytes_)) if tk
+            np.unique(np.array(tk, dtype=np.bytes_)
+                      .astype(f"S{_MAX_TOKEN_BYTES}")) if tk
             else np.array([b""], dtype="S1")
             for tk in toks_list
         ]
@@ -274,8 +288,9 @@ def simhash64(docs: DataFrame, text_col: str = "text",
             if not toks:
                 out[i] = 0
                 continue
-            uniq, counts = np.unique(np.array(toks, dtype=np.bytes_),
-                                     return_counts=True)
+            uniq, counts = np.unique(
+                np.array(toks, dtype=np.bytes_)
+                .astype(f"S{_MAX_TOKEN_BYTES}"), return_counts=True)
             hv = _hash_tokens_u64(uniq)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)

@@ -209,11 +209,15 @@ def _exact_scores(cand: np.ndarray, term_rows: list, idf: dict[str, float],
 
 
 def _positions_of(cand: np.ndarray, blocks: list, decoded: dict,
-                  term: str) -> tuple[np.ndarray, np.ndarray]:
+                  term: str, pos_cache: dict | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
     """(doc, position) pairs of one term restricted to ``cand`` (sorted
     doc ids). Decodes only blocks whose range overlaps a candidate;
     the variable-length position slices are gathered with one
-    repeat/arange indexer (no per-posting Python)."""
+    repeat/arange indexer (no per-posting Python). ``pos_cache`` keeps
+    decoded position streams across calls — a repeated-token phrase
+    probes the same term once per offset, and poss is the largest
+    per-block payload."""
     firsts = np.fromiter((b["first_doc_id"] for b in blocks), np.int64)
     maxs = np.fromiter((b["max_doc_id"] for b in blocks), np.int64)
     lo = np.searchsorted(cand, firsts)
@@ -228,7 +232,12 @@ def _positions_of(cand: np.ndarray, blocks: list, decoded: dict,
             decoded[ck] = (d_prev, decode_block_tfs(blocks[j]),
                            decode_block_dls(blocks[j]))
         d, t, _ = decoded[ck]
-        p = decode_block_positions(blocks[j], t)
+        if pos_cache is not None and ck in pos_cache:
+            p = pos_cache[ck]
+        else:
+            p = decode_block_positions(blocks[j], t)
+            if pos_cache is not None:
+                pos_cache[ck] = p
         idx = np.searchsorted(d, cand)
         idx_c = np.minimum(idx, d.size - 1)
         found = d[idx_c] == cand
@@ -253,8 +262,10 @@ def _phrase_filter(cand: np.ndarray, phrase: list[str], blocks_of: dict,
     intersect the per-offset (doc, pos - offset) key sets — a surviving
     key is a phrase start position."""
     keys = None
+    pos_cache: dict = {}
     for offset, term in enumerate(phrase):
-        docs, poss = _positions_of(cand, blocks_of[term], decoded, term)
+        docs, poss = _positions_of(cand, blocks_of[term], decoded, term,
+                                   pos_cache)
         adj = poss - offset
         ok = adj >= 0
         kt = np.unique((docs[ok] << _POS_BITS) | adj[ok])
@@ -290,11 +301,13 @@ def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
             decoded[ck] = (decode_block_docs(blocks_of[term][j]), None, None)
         return j
 
-    # --- seed: each term's single best block → θ from exact top-k
-    for term, _ in term_rows:
-        decode_next(term)
+    # --- seed: each term's single best block → θ from exact top-k.
+    # Seed from ONLY these blocks — under search_many the shared cache
+    # holds other queries' decodes, and seeding from all of them would
+    # grow per-query work with batch size and defeat the skip.
+    seed_keys = [(term, decode_next(term)) for term, _ in term_rows]
     seed_ids = np.unique(np.concatenate(
-        [decoded[ck][0] for ck in decoded]))
+        [decoded[ck][0] for ck in seed_keys]))
     if seed_ids.size >= k:
         seed_scores = _exact_scores(seed_ids, term_rows, idf, avgdl, decoded)
         theta = np.partition(seed_scores, seed_scores.size - k)[
@@ -474,10 +487,8 @@ def match_positions(spark: SparkSession, index_dir: str, query: str,
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     ids = np.sort(np.asarray(list(doc_ids), np.int64))
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    prows = postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-    ).select("term", "blocks")
+    prows = postings_rows(spark, index_dir, buckets, terms) \
+        .select("term", "blocks")
 
     def kernel(it):
         for pdf in it:
@@ -537,10 +548,7 @@ def search_many(spark: SparkSession, index_dir: str,
                       for t in fi})
     needed = sorted({t for fi, _ in plans.values() for t in fi})
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    prows = postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(needed)
-    ).select("split_id", "term", "blocks")
+    prows = postings_rows(spark, index_dir, buckets, needed)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         rows_by_term = {r.term: (r.term, list(r.blocks))
@@ -637,13 +645,35 @@ def search_indexed(
                       with_doc_cols, phrase, where)
 
 
+def postings_rows(spark: SparkSession, index_dir: str, buckets: list,
+                  terms: list[str]) -> DataFrame:
+    """The bucket-pruned + term-pushed postings scan every query path
+    shares (ranked, phrase, boolean, highlight)."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    return postings.where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    ).select("split_id", "term", "blocks")
+
+
+def global_topk(spark: SparkSession, index_dir: str, cand: DataFrame,
+                k: int, with_doc_cols: bool) -> DataFrame:
+    """The Q6 cut + optional display join every query path shares —
+    keeps the (score desc, doc_id asc) tie-break contract and the
+    broadcast-small-side convention in one place."""
+    topk = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_doc_cols:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "doc_id", "repo", "path", "commit", "lang")
+        # topk is ≤k rows — broadcast it so the docs join is shuffle-free
+        topk = (docs.join(F.broadcast(topk), "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk
+
+
 def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
                mode, with_doc_cols, phrase=None, where=None):
     found_terms = sorted(idf)
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    prows = postings.where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(found_terms)
-    ).select("split_id", "term", "blocks")
+    prows = postings_rows(spark, index_dir, buckets, found_terms)
     kernel_k = None if where is not None else k
 
     if len(found_terms) == 1 and n_terms == 1:
@@ -676,14 +706,4 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
             .where(where).select("doc_id")
         )
         cand = cand.join(allowed, "doc_id")
-    topk = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    if with_doc_cols:
-        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-            "doc_id", "repo", "path", "commit", "lang"
-        )
-        # topk is ≤k rows — broadcast it so the docs join is shuffle-free
-        topk = (
-            docs.join(F.broadcast(topk), "doc_id")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-    return topk
+    return global_topk(spark, index_dir, cand, k, with_doc_cols)

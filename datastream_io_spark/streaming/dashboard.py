@@ -63,6 +63,18 @@ def metrics_sink(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     partials instead of double-counting them. ``latest.json`` is merged
     INCREMENTALLY (previous snapshot + this batch) — O(1) per batch, not
     a rescan of the whole feed history."""
+    snap_path = os.path.join(out_dir, "latest.json")
+    prev = {"rows": 0, "anomalies": 0, "max_abs_score": 0.0,
+            "last_batch_id": -1}
+    if os.path.exists(snap_path):
+        with open(snap_path) as f:
+            prev = json.load(f)
+    if int(batch_id) <= int(prev.get("last_batch_id", -1)):
+        # redelivered batch: snapshot is written AFTER the feed, so its
+        # presence proves the feed partials landed — nothing to do, and
+        # no Spark job is spent finding that out
+        return
+
     os.makedirs(os.path.join(out_dir, "feed"), exist_ok=True)
     part_df = score_window_metrics(batch_df, score_col, threshold, window) \
         .withColumn("batch_id", F.lit(int(batch_id)))
@@ -74,14 +86,6 @@ def metrics_sink(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         F.sum("n_anomalies").alias("anomalies"),
         F.max("max_abs_score").alias("max_abs_score"),
     ).collect()[0]
-    snap_path = os.path.join(out_dir, "latest.json")
-    prev = {"rows": 0, "anomalies": 0, "max_abs_score": 0.0,
-            "last_batch_id": -1}
-    if os.path.exists(snap_path):
-        with open(snap_path) as f:
-            prev = json.load(f)
-    if int(batch_id) <= int(prev.get("last_batch_id", -1)):
-        return  # redelivered batch: feed already overwritten, totals stand
     snap = {
         "last_batch_id": int(batch_id),
         "rows": int(prev["rows"]) + int(inc["rows"] or 0),

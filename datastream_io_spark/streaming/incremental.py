@@ -30,17 +30,27 @@ from datastream_io_spark.operators.build import SEGMENT_SCHEMA
 from datastream_io_spark.sources import manifest as M
 
 
+# per-process watermark memo: the full manifest scan runs once per
+# index; each ingested batch then advances it in memory (a restart just
+# rescans). Without this, a 10^4-batch ingest re-parses every manifest
+# on every micro-batch — O(batches^2) filesystem work over a run.
+_WATERMARK_CACHE: dict[str, int] = {}
+
+
 def _next_doc_id(index_dir: str) -> int:
     """Derive the dense-id watermark from the DONE batch manifests (the
     single atomic write per batch). A separate counter file advanced
     before the manifest left a crash window where foreachBatch
     redelivery reran a batch at a shifted offset, permanently breaking
     the dense-id invariant."""
-    hi = 0
-    for b in M.done_splits(index_dir):
-        m = M.read_split_manifest(index_dir, b)
-        hi = max(hi, int(m["doc_id_offset"]) + int(m["n_docs"]))
-    return hi
+    key = os.path.abspath(index_dir)
+    if key not in _WATERMARK_CACHE:
+        hi = 0
+        for b in M.done_splits(index_dir):
+            m = M.read_split_manifest(index_dir, b)
+            hi = max(hi, int(m["doc_id_offset"]) + int(m["n_docs"]))
+        _WATERMARK_CACHE[key] = hi
+    return _WATERMARK_CACHE[key]
 
 
 def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
@@ -87,6 +97,7 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         "kind": "stream_batch",
         "n_postings": int(tf.count()),
     })
+    _WATERMARK_CACHE[os.path.abspath(index_dir)] = offset + int(n_docs)
 
 
 def finalize_stream_index(spark: SparkSession, index_dir: str,
@@ -262,11 +273,26 @@ def compact_stream_index(spark: SparkSession, index_dir: str,
     position-independent; nothing is decoded). Scores, ranks, df/cf/idf
     are all unchanged; only the split granularity shrinks. docs/ is
     remapped to the same coarse split ids, so compaction composes
-    (compact again later as more batches arrive). Each directory swap
-    is rename-aside → rename-in → delete-aside, so a crash at any point
-    leaves either the old or the new directory in place, never
-    neither."""
+    (compact again later as more batches arrive).
+
+    Crash safety: a directory swap cannot be POSIX-atomic, so each swap
+    is rename-aside → rename-in → delete-aside and the function STARTS
+    by repairing any half-finished swap from a previous crash (tmp or
+    aside dirs left behind). A crash can therefore interrupt a
+    compaction but never lose data or leave an unrepairable index —
+    re-running compact_stream_index completes or redoes the work. The
+    docs/postings split-id consistency the group map depends on is
+    verified before remapping."""
     import shutil
+
+    def _repair_swap(path: str) -> None:
+        """Finish a swap interrupted by a crash: restore ``path`` from
+        its aside copy if the rename-in never happened."""
+        aside = path + "_old"
+        if not os.path.exists(path) and os.path.exists(aside):
+            os.replace(aside, path)
+        if os.path.exists(path) and os.path.exists(aside):
+            shutil.rmtree(aside)  # rename-in completed, aside is stale
 
     def _swap_in(path: str, tmp: str) -> None:
         aside = path + "_old"
@@ -277,6 +303,15 @@ def compact_stream_index(spark: SparkSession, index_dir: str,
         shutil.rmtree(aside)
 
     docs_path = os.path.join(index_dir, "docs")
+    post_tmp = os.path.join(index_dir, "_postings_compact_tmp")
+    docs_tmp = os.path.join(index_dir, "_docs_compact_tmp")
+    _repair_swap(docs_path)
+    _repair_swap(os.path.join(index_dir, "postings"))
+    if os.path.exists(docs_tmp) and not os.path.exists(post_tmp):
+        # a previous run crashed BETWEEN the postings swap (which
+        # consumed its tmp) and the docs swap: finish the docs swap so
+        # docs/postings split ids agree again
+        _swap_in(docs_path, docs_tmp)
     docs = spark.read.parquet(docs_path)
     bounds = sorted(
         (int(r["lo"]), int(r["split_id"]))
@@ -291,6 +326,14 @@ def compact_stream_index(spark: SparkSession, index_dir: str,
         *[F.lit(v) for kv in group_of.items() for v in kv])
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    post_splits = {int(r["split_id"]) for r in
+                   postings.select("split_id").distinct().collect()}
+    if not post_splits <= set(group_of):
+        raise ValueError(
+            f"postings split ids {sorted(post_splits - set(group_of))} "
+            "are unknown to docs/ — a previous compaction crashed "
+            "between the postings and docs swaps; restore the "
+            "_docs_compact_tmp rename or rebuild via finalize")
     merged = (
         postings.withColumn(
             "split_id", F.element_at(map_expr, F.col("split_id")))
