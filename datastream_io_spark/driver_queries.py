@@ -264,6 +264,22 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
 
+def q_suggest_terms(spark, sf_dir):
+    """Q14 — autocomplete: top index terms by df under a prefix; the
+    oracle recomputes df from the tokenized fixture."""
+    from datastream_io_spark.operators.indexed_search import suggest_terms
+
+    return suggest_terms(spark, _pos_index(spark, sf_dir), "s", k=5)
+
+
+o_suggest_terms = (
+    f"WITH tok AS ({TOK_SQL}), "
+    "dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term) "
+    "SELECT term, df FROM dfq WHERE term LIKE 's%' "
+    "ORDER BY df DESC, term LIMIT 5"
+)
+
+
 def q_search_many(spark, sf_dir):
     """Q13 — batched serving: two AND queries answered in ONE Spark job
     (shared postings scan + per-split decode cache); each query's rows
@@ -1197,6 +1213,7 @@ QUERIES = {
     "boolean_search": q_boolean_search,
     "filtered_search": q_filtered_search,
     "search_many": q_search_many,
+    "suggest_terms": q_suggest_terms,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -1254,6 +1271,7 @@ ORACLES = {
     "boolean_search": o_boolean_search,
     "filtered_search": o_filtered_search,
     "search_many": o_search_many,
+    "suggest_terms": o_suggest_terms,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
     "agg_pricing_summary": o_agg_pricing_summary,

@@ -586,6 +586,24 @@ def search_many(spark: SparkSession, index_dir: str,
     )
 
 
+def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
+                  k: int = 10) -> DataFrame:
+    """Q14 — query autocomplete: the ``k`` highest-df index terms with
+    the given prefix. One dict/ scan with a StartsWith predicate pushed
+    into parquet (dict rows are sorted by term within each bucket, so
+    row groups outside the prefix range are skipped via min/max stats);
+    TakeOrderedAndProject cuts the top-k. Ties break lexicographically
+    for determinism."""
+    prefix = prefix.lower()
+    d = spark.read.parquet(os.path.join(index_dir, "dict"))
+    return (
+        d.where(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str],
                  n_buckets: int | None = None) -> list:
     """Q2 — dict rows for query terms. The bucket of each term is

@@ -68,3 +68,32 @@ def test_rerun_is_noop_for_segments(spark, tmp_path):
         assert os.path.getmtime(
             os.path.join(idx, "segments", f"split_{s:04d}")) == mtimes[s]
     assert _index_fingerprint(spark, idx) == before
+
+
+def test_kill_and_resume_positional(spark, tmp_path):
+    """C6 with positions=True: resume must pass the frozen-settings
+    guard and produce an index byte-identical to an uninterrupted
+    positional build (position streams included in the fingerprint)."""
+    corpus = documents_as_corpus(spark, SF0001)
+    broken = str(tmp_path / "broken_pos")
+    clean = str(tmp_path / "clean_pos")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, broken, n_splits=3, n_buckets=4,
+                    tokenizer="simple", positions=True,
+                    fail_after_splits=1, max_concurrent_splits=1)
+    assert len(done_splits(broken)) == 1
+
+    # resume MUST repeat the same positions setting (guard test)
+    with pytest.raises(ValueError, match="staged with"):
+        build_index(spark, corpus, broken, n_splits=3, n_buckets=4,
+                    tokenizer="simple", positions=False)
+    build_index(spark, corpus, broken, n_splits=3, n_buckets=4,
+                tokenizer="simple", positions=True)
+    build_index(spark, corpus, clean, n_splits=3, n_buckets=4,
+                tokenizer="simple", positions=True)
+    assert _index_fingerprint(spark, broken) == _index_fingerprint(spark, clean)
+
+    # and the resumed index answers phrase queries
+    from datastream_io_spark.operators.indexed_search import search_indexed
+    assert search_indexed(spark, broken, "window agg", 5, "phrase").count() > 0
