@@ -264,6 +264,42 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
 
+def q_delete_search(spark, sf_dir):
+    """Q15 — tombstone deletes: delete lang='de' docs, then rank; every
+    deleted doc must vanish while survivors keep exact scores. Own
+    throwaway index (deletes mutate state, so the shared positional
+    index cache must not be touched)."""
+    from datastream_io_spark.operators.build import build_index
+    from datastream_io_spark.operators.indexed_search import (
+        delete_docs,
+        search_indexed,
+    )
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    idx = tempfile.mkdtemp(prefix="dq_delindex_")
+    build_index(spark, documents_as_corpus(spark, sf_dir), idx,
+                n_splits=2, n_buckets=8, tokenizer="simple",
+                source_desc=f"{sf_dir}/documents.parquet")
+    delete_docs(spark, idx, where="lang = 'de'")
+    topk = search_indexed(spark, idx, "window agg", 10, "or",
+                          with_doc_cols=True)
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+o_delete_search = (
+    BM25_CTE.format(terms="'agg', 'window'")
+    + """
+SELECT sc.doc_id, round(sum(s), 6) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE d.lang <> 'de'
+GROUP BY sc.doc_id ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+"""
+)
+
+
 def q_suggest_terms(spark, sf_dir):
     """Q14 — autocomplete: top index terms by df under a prefix; the
     oracle recomputes df from the tokenized fixture."""
@@ -1214,6 +1250,7 @@ QUERIES = {
     "filtered_search": q_filtered_search,
     "search_many": q_search_many,
     "suggest_terms": q_suggest_terms,
+    "delete_search": q_delete_search,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -1272,6 +1309,7 @@ ORACLES = {
     "filtered_search": o_filtered_search,
     "search_many": o_search_many,
     "suggest_terms": o_suggest_terms,
+    "delete_search": o_delete_search,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
     "agg_pricing_summary": o_agg_pricing_summary,

@@ -49,6 +49,7 @@ from datastream_io_spark.operators.indexed_search import (
     _check_format,
     _exact_scores,
     _phrase_filter,
+    _tombstones,
     global_topk,
     postings_rows,
 )
@@ -269,6 +270,8 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
     }
 
     prows = postings_rows(spark, index_dir, buckets, sorted(all_terms))
+    tomb = _tombstones(spark, index_dir)
+    kernel_k = None if tomb is not None else k
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -281,11 +284,15 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
         score_rows = [(t, blocks_of[t]) for t in sorted(idf)
                       if t in blocks_of]
         scores = _exact_scores(cand, score_rows, idf, avgdl, decoded)
-        m = min(k, cand.size)
-        sel = np.lexsort((cand, -scores))[:m]
+        if kernel_k is None:  # tombstones filter after the kernel
+            sel = np.arange(cand.size)
+        else:
+            sel = np.lexsort((cand, -scores))[:min(kernel_k, cand.size)]
         return pd.DataFrame({"doc_id": cand[sel].astype("int64"),
                              "score": scores[sel].astype("float64")})
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "doc_id long, score double")
+    if tomb is not None:
+        cand = cand.join(tomb, "doc_id", "left_anti")
     return global_topk(spark, index_dir, cand, k, with_doc_cols)

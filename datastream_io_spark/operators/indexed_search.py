@@ -549,6 +549,8 @@ def search_many(spark: SparkSession, index_dir: str,
     needed = sorted({t for fi, _ in plans.values() for t in fi})
 
     prows = postings_rows(spark, index_dir, buckets, needed)
+    tomb = _tombstones(spark, index_dir)
+    kernel_k = None if tomb is not None else k
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         rows_by_term = {r.term: (r.term, list(r.blocks))
@@ -560,7 +562,7 @@ def search_many(spark: SparkSession, index_dir: str,
                          if t in rows_by_term]
             if not term_rows:
                 continue
-            out = _wand_split(pdf, idf_q, avgdl, k, mode, n_terms,
+            out = _wand_split(pdf, idf_q, avgdl, kernel_k, mode, n_terms,
                               term_rows=term_rows, decoded=decoded)
             if len(out):
                 out.insert(0, "query_id", qid)
@@ -573,6 +575,8 @@ def search_many(spark: SparkSession, index_dir: str,
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "query_id string, doc_id long, score double")
+    if tomb is not None:
+        cand = cand.join(tomb, "doc_id", "left_anti")
     # per-query candidates are ≤ k × n_splits rows — the rank window is
     # over a tiny set, not the corpus
     from pyspark.sql import Window
@@ -584,6 +588,46 @@ def search_many(spark: SparkSession, index_dir: str,
         .where(F.col("_rn") <= k).drop("_rn")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
+
+
+def delete_docs(spark: SparkSession, index_dir: str,
+                doc_ids: list[int] | None = None,
+                where: str | None = None) -> int:
+    """Q15 — tombstone deletes: mark docs (by id list or a docs-table
+    predicate) so NO query mode ever returns them again. The index
+    bytes are untouched — deleted ids go to a ``tombstones/`` parquet
+    that every search path anti-joins before its top-k cut (the
+    standard live-docs design: corpus statistics keep counting deleted
+    docs until the index is rebuilt, exactly like Lucene segments until
+    a merge). Returns the number of tombstoned ids after dedup."""
+    if (doc_ids is None) == (where is None):
+        raise ValueError("pass exactly one of doc_ids / where")
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if doc_ids is not None:
+        new = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long")
+    else:
+        new = (spark.read.parquet(os.path.join(index_dir, "docs"))
+               .where(where).select("doc_id"))
+    if os.path.exists(tomb_dir):
+        new = new.unionByName(
+            spark.read.parquet(tomb_dir).select("doc_id"))
+    merged = new.distinct()
+    tmp = tomb_dir + "_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(tomb_dir):
+        import shutil
+        shutil.rmtree(tomb_dir)
+    os.replace(tmp, tomb_dir)
+    return n
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return None
+    return spark.read.parquet(tomb_dir).select("doc_id")
 
 
 def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
@@ -692,7 +736,10 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
                mode, with_doc_cols, phrase=None, where=None):
     found_terms = sorted(idf)
     prows = postings_rows(spark, index_dir, buckets, found_terms)
-    kernel_k = None if where is not None else k
+    tomb = _tombstones(spark, index_dir)
+    # a post-kernel filter (predicate or tombstones) can promote docs
+    # the per-split cut would drop — emit all candidates in that case
+    kernel_k = None if (where is not None or tomb is not None) else k
 
     if len(found_terms) == 1 and n_terms == 1:
         # single-term fast path: no cross-term alignment needed, so skip
@@ -718,6 +765,8 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
 
         cand = prows.groupBy("split_id").applyInPandas(
             kernel, "doc_id long, score double")
+    if tomb is not None:
+        cand = cand.join(tomb, "doc_id", "left_anti")
     if where is not None:
         allowed = (
             spark.read.parquet(os.path.join(index_dir, "docs"))

@@ -39,6 +39,9 @@ def main(argv: list[str]) -> int:
               "tokenizer", "positions", "k1", "b"):
         if k in stats:
             print(f"  {k:12} {stats[k]}")
+    tomb = os.path.join(idx, "tombstones")
+    if os.path.exists(tomb):
+        print(f"  {'tombstones':12} {spark.read.parquet(tomb).count()}")
 
     from datastream_io_spark.operators.build import blocks_bytes_col
 
