@@ -527,6 +527,137 @@ def finalize_index(
     return stats
 
 
+def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
+    """Q15b — physically remove tombstoned docs from the index: the one
+    operation that DOES decode + re-encode (only blocks that actually
+    contain a victim; untouched posting rows pass through byte-for-byte).
+    df/cf/dict/stats are rebuilt, so afterwards the index scores
+    EXACTLY like one built fresh over the surviving corpus (doc ids
+    keep their original values, now with gaps — dense ids are a build
+    artifact, not a query-time invariant).
+
+    The tombstone set is broadcast as a sorted numpy array — fine while
+    deletes ≪ corpus (the operating assumption of tombstoning; at a
+    deletes-heavy 10^12 scale you'd rewrite via an anti-join over the
+    staged corpus instead, i.e. rebuild)."""
+    import numpy as np
+
+    from datastream_io_spark.operators.codec import (
+        decode_block_dls,
+        decode_block_positions,
+        decode_block_tfs,
+        decode_blocks,
+    )
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if not os.path.exists(tomb_dir):
+        return read_stats(index_dir)
+    tomb = np.sort(
+        spark.read.parquet(tomb_dir).toPandas()["doc_id"].to_numpy(np.int64))
+    tomb_b = spark.sparkContext.broadcast(tomb)
+    stats = read_stats(index_dir)
+    has_pos = bool(stats.get("positions", False))
+
+    posts_path = os.path.join(index_dir, "postings")
+    posts = spark.read.parquet(posts_path)
+    out_schema = posts.schema
+
+    def kernel(it):
+        tv = tomb_b.value
+        for pdf in it:
+            keep_rows = []
+            for r in pdf.itertuples(index=False):
+                blocks = list(r.blocks)
+                ids, tfs = decode_blocks(blocks)
+                pos = np.searchsorted(tv, ids)
+                pos_c = np.minimum(pos, max(tv.size - 1, 0))
+                dead = (tv[pos_c] == ids) if tv.size else \
+                    np.zeros(ids.size, bool)
+                if not dead.any():
+                    keep_rows.append(r)  # untouched: bytes pass through
+                    continue
+                keep = ~dead
+                if not keep.any():
+                    continue  # whole posting list deleted
+                dls = np.concatenate([decode_block_dls(b) for b in blocks])
+                flat_pos = None
+                if has_pos:
+                    flat = np.concatenate(
+                        [decode_block_positions(b) for b in blocks])
+                    lens = tfs
+                    starts = np.cumsum(lens) - lens
+                    sel = np.flatnonzero(keep)
+                    klens = lens[sel]
+                    total = int(klens.sum())
+                    gather = (np.repeat(starts[sel], klens)
+                              + np.arange(total)
+                              - np.repeat(np.cumsum(klens) - klens, klens))
+                    flat_pos = flat[gather]
+                new_blocks = encode_blocks(
+                    ids[keep], tfs[keep], dls[keep], positions=flat_pos)
+                keep_rows.append(r._replace(
+                    df=int(keep.sum()), cf=int(tfs[keep].sum()),
+                    first_doc_id=int(ids[keep][0]),
+                    last_doc_id=int(ids[keep][-1]),
+                    blocks=new_blocks))
+            if keep_rows:
+                yield pd.DataFrame(keep_rows, columns=pdf.columns)
+
+    import shutil
+
+    tmp = posts_path + "_purge_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (posts.mapInPandas(kernel, out_schema)
+     .repartition("term_bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp))
+
+    docs_path = os.path.join(index_dir, "docs")
+    docs_tmp = docs_path + "_purge_tmp"
+    if os.path.exists(docs_tmp):
+        shutil.rmtree(docs_tmp)
+    docs = spark.read.parquet(docs_path)
+    tomb_df = spark.read.parquet(tomb_dir).select("doc_id")
+    docs.join(tomb_df, "doc_id", "left_anti").write.mode(
+        "overwrite").parquet(docs_tmp)
+
+    def _swap(path, t):
+        aside = path + "_old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.replace(path, aside)
+        os.replace(t, path)
+        shutil.rmtree(aside)
+
+    _swap(posts_path, tmp)
+    _swap(docs_path, docs_tmp)
+
+    docs = spark.read.parquet(docs_path)
+    row = docs.agg(F.count("*").alias("n"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    postings = spark.read.parquet(posts_path)
+    dictionary = postings.groupBy("term", "term_bucket").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ).select(
+        "term", "term_bucket", "df", "cf",
+        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)).alias("idf"),
+    )
+    dict_tmp = os.path.join(index_dir, "dict_purge_tmp")
+    if os.path.exists(dict_tmp):
+        shutil.rmtree(dict_tmp)
+    (dictionary.repartition("term_bucket").write.mode("overwrite")
+     .partitionBy("term_bucket").parquet(dict_tmp))
+    _swap(os.path.join(index_dir, "dict"), dict_tmp)
+
+    stats["n_docs"] = n_docs
+    stats["avgdl"] = avgdl
+    _write_json_atomic(_stats_path(index_dir), stats)
+    shutil.rmtree(tomb_dir)
+    return stats
+
+
 def drop_staged_corpus(index_dir: str) -> None:
     """Reclaim the staging copy once a build is final (content itself is
     not part of the served index)."""

@@ -76,3 +76,52 @@ def test_delete_args_validated(spark, del_index):
         delete_docs(spark, del_index)
     with pytest.raises(ValueError, match="exactly one"):
         delete_docs(spark, del_index, doc_ids=[1], where="lang='x'")
+
+
+def test_purge_equals_fresh_build_on_survivors(spark, tmp_path):
+    """Q15b: after purge_deleted, every query mode must score EXACTLY
+    like an index built fresh over the surviving corpus (df/avgdl/idf
+    rebuilt; doc ids keep original values so comparison maps via path)."""
+    from datastream_io_spark.operators.build import purge_deleted
+
+    corpus = documents_as_corpus(spark, SF0001)
+    idx = str(tmp_path / "purge_idx")
+    build_index(spark, corpus, idx, n_splits=3, n_buckets=8,
+                tokenizer="simple", salt_threshold=50, n_salts=4,
+                positions=True)
+
+    victims = [r.doc_id for r in
+               search_indexed(spark, idx, "window agg", 7, "or").collect()]
+    delete_docs(spark, idx, doc_ids=victims)
+    stats = purge_deleted(spark, idx)
+    docs = spark.read.parquet(f"{idx}/docs")
+    assert stats["n_docs"] == docs.count() == 500 - len(set(victims))
+    import os
+    assert not os.path.exists(f"{idx}/tombstones")
+
+    # fresh build over the surviving rows only
+    surv_corpus = corpus.join(
+        docs.select("repo", "path", "commit"), ["repo", "path", "commit"])
+    fresh = str(tmp_path / "fresh_idx")
+    build_index(spark, surv_corpus, fresh, n_splits=3, n_buckets=8,
+                tokenizer="simple", salt_threshold=50, n_salts=4,
+                positions=True)
+
+    def by_path(index_dir, q, mode):
+        top = search_indexed(spark, index_dir, q, 10, mode,
+                             with_doc_cols=True).collect()
+        return [(r.path, round(r.score, 9)) for r in top]
+
+    for q, mode in [("window agg", "and"), ("scan merge sort", "or"),
+                    ("window agg", "phrase")]:
+        assert by_path(idx, q, mode) == by_path(fresh, q, mode), (q, mode)
+
+    # dict df shrank for terms the victims carried
+    from datastream_io_spark.operators.indexed_search import suggest_terms
+    d_purged = {r.term: r.df for r in
+                spark.read.parquet(f"{idx}/dict").collect()}
+    d_fresh = {r.term: r.df for r in
+               spark.read.parquet(f"{fresh}/dict").collect()}
+    assert d_purged == d_fresh
+    assert suggest_terms(spark, idx, "w", 3).collect() == \
+        suggest_terms(spark, fresh, "w", 3).collect()
