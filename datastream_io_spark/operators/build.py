@@ -654,6 +654,27 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     stats["n_docs"] = n_docs
     stats["avgdl"] = avgdl
     _write_json_atomic(_stats_path(index_dir), stats)
+
+    # merge.json is the lineage the inspect/verify tooling recounts
+    # against — keep it true after the rewrite
+    merge_path = os.path.join(index_dir, "manifest", "merge.json")
+    if os.path.exists(merge_path):
+        with open(merge_path) as f:
+            merge_metrics = json.load(f)
+        mrow = postings.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("df").alias("n_postings"),
+            F.sum(blocks_bytes_col("blocks")).alias("bytes"),
+        ).collect()[0]
+        merge_metrics.update({
+            "n_posting_rows": int(mrow["n_rows"] or 0),
+            "n_postings": int(mrow["n_postings"] or 0),
+            "compressed_bytes": int(mrow["bytes"] or 0),
+            "n_terms": int(spark.read.parquet(
+                os.path.join(index_dir, "dict")).count()),
+            "purged": True,
+        })
+        _write_json_atomic(merge_path, merge_metrics)
     shutil.rmtree(tomb_dir)
     return stats
 

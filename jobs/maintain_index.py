@@ -1,0 +1,63 @@
+"""spark-submit entry point for index maintenance: tombstone deletes,
+physical purge, and stream-index compaction.
+
+    spark-submit --py-files engine.zip jobs/maintain_index.py \
+        --index /data/index delete --where "lang = 'go'"
+    ... delete --doc-ids 17 42 99
+    ... purge
+    ... compact --target-splits 8        # streaming indexes
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--index", required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("delete", help="tombstone docs (live-docs: every "
+                                      "query mode stops returning them)")
+    d.add_argument("--doc-ids", nargs="*", type=int, default=None)
+    d.add_argument("--where", default=None,
+                   help="docs-table predicate, e.g. \"lang = 'go'\"")
+
+    sub.add_parser("purge", help="physically remove tombstoned docs and "
+                                 "rebuild df/dict/stats")
+
+    c = sub.add_parser("compact", help="merge per-batch posting rows of a "
+                                       "STREAMING index into coarse splits")
+    c.add_argument("--target-splits", type=int, required=True)
+
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("maintain_index").getOrCreate()
+
+    if args.cmd == "delete":
+        from datastream_io_spark.operators.indexed_search import delete_docs
+
+        n = delete_docs(spark, args.index,
+                        doc_ids=args.doc_ids or None, where=args.where)
+        print(f"tombstones now cover {n} docs")
+    elif args.cmd == "purge":
+        from datastream_io_spark.operators.build import purge_deleted
+
+        stats = purge_deleted(spark, args.index)
+        print(f"purged: n_docs={stats['n_docs']} avgdl={stats['avgdl']:.3f}")
+    else:
+        from datastream_io_spark.streaming.incremental import (
+            compact_stream_index,
+        )
+
+        stats = compact_stream_index(spark, args.index, args.target_splits)
+        print(f"compacted to n_splits={stats['n_splits']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
