@@ -47,9 +47,10 @@ from datastream_io_spark.operators.build import read_stats
 from datastream_io_spark.operators.codec import decode_block_docs
 from datastream_io_spark.operators.indexed_search import (
     _check_format,
+    _drop_dead,
     _exact_scores,
     _phrase_filter,
-    _tombstones,
+    _tombstones_broadcast,
     global_topk,
     postings_rows,
 )
@@ -270,29 +271,24 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
     }
 
     prows = postings_rows(spark, index_dir, buckets, sorted(all_terms))
-    tomb = _tombstones(spark, index_dir)
-    kernel_k = None if tomb is not None else k
+    tomb = _tombstones_broadcast(spark, index_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
         blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
         decoded: dict = {}
-        cand = _eval_node(tree, blocks_of, decoded)
+        tv = tomb.value if tomb is not None else None
+        cand = _drop_dead(_eval_node(tree, blocks_of, decoded), tv)
         if cand.size == 0:
             return empty
         score_rows = [(t, blocks_of[t]) for t in sorted(idf)
                       if t in blocks_of]
         scores = _exact_scores(cand, score_rows, idf, avgdl, decoded)
-        if kernel_k is None:  # tombstones filter after the kernel
-            sel = np.arange(cand.size)
-        else:
-            sel = np.lexsort((cand, -scores))[:min(kernel_k, cand.size)]
+        sel = np.lexsort((cand, -scores))[:min(k, cand.size)]
         return pd.DataFrame({"doc_id": cand[sel].astype("int64"),
                              "score": scores[sel].astype("float64")})
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "doc_id long, score double")
-    if tomb is not None:
-        cand = cand.join(tomb, "doc_id", "left_anti")
     return global_topk(spark, index_dir, cand, k, with_doc_cols)

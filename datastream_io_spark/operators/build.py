@@ -108,6 +108,56 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
+def repair_swap(path: str) -> None:
+    """Finish a directory swap interrupted by a crash: restore ``path``
+    from its ``_old`` aside if the rename-in never happened, drop the
+    stale aside otherwise. Idempotent; call before touching ``path``."""
+    import shutil
+
+    aside = path + "_old"
+    if not os.path.exists(path) and os.path.exists(aside):
+        os.replace(aside, path)
+    if os.path.exists(path) and os.path.exists(aside):
+        shutil.rmtree(aside)
+
+
+def swap_in(path: str, tmp: str) -> None:
+    """Replace directory ``path`` with ``tmp`` via rename-aside →
+    rename-in → delete-aside. Not POSIX-atomic (directories can't be),
+    but every crash point is repairable by :func:`repair_swap`."""
+    import shutil
+
+    aside = path + "_old"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    os.replace(path, aside)
+    os.replace(tmp, path)
+    shutil.rmtree(aside)
+
+
+def write_dictionary(spark: SparkSession, postings: DataFrame, n_docs: int,
+                     index_dir: str, to_tmp: bool = False) -> str:
+    """THE dictionary build (df/cf/idf per term, bucket-partitioned,
+    term-sorted within each bucket so prefix scans skip row groups via
+    parquet min/max stats) — one definition shared by the batch
+    finalize, the streaming finalize, and purge so scoring can never
+    drift between them. Returns the directory written."""
+    dictionary = postings.groupBy("term", "term_bucket").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ).select(
+        "term", "term_bucket", "df", "cf",
+        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)).alias("idf"),
+    )
+    out = os.path.join(index_dir, "dict_tmp" if to_tmp else "dict")
+    if to_tmp and os.path.exists(out):
+        import shutil
+        shutil.rmtree(out)
+    (dictionary.repartition("term_bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("term_bucket").parquet(out))
+    return out
+
+
 def blocks_bytes_col(col: str = "blocks"):
     """Compressed payload bytes of a blocks column (all four streams) —
     the ONE definition shared by the build lineage metrics, the tests'
@@ -461,18 +511,10 @@ def finalize_index(
         .parquet(os.path.join(index_dir, "postings"))
     )
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    dictionary = postings.groupBy("term", "term_bucket").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    ).select(
-        "term", "term_bucket", "df", "cf",
-        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)).alias("idf"),
-    )
-    # partitioned on term_bucket so query-time dict lookups list only
+    # dict/ partitioned on term_bucket so query-time lookups list only
     # the buckets of the query terms (bucket computable driver-side via
     # functions.xxhash.term_bucket — bit-identical to F.xxhash64)
-    (dictionary.repartition("term_bucket").write.mode("overwrite")
-     .partitionBy("term_bucket").parquet(os.path.join(index_dir, "dict")))
+    write_dictionary(spark, postings, n_docs, index_dir)
 
     # docs/: staged metadata + dl side tables (no-token docs → dl 0)
     dl_dirs = sorted(
@@ -496,7 +538,7 @@ def finalize_index(
         F.count("*").alias("n_rows"),
         F.sum("df").alias("n_postings"),
     ).collect()[0]
-    n_terms = dictionary.count()
+    n_terms = spark.read.parquet(os.path.join(index_dir, "dict")).count()
     stats = {
         "format": 2,  # 2 = per-posting dl (+optional positions) in blocks
         "n_docs": n_docs,
@@ -549,7 +591,11 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
         decode_blocks,
     )
 
+    # repair any swap a previous purge crash left half-finished
+    for sub in ("postings", "docs", "dict"):
+        repair_swap(os.path.join(index_dir, sub))
     tomb_dir = os.path.join(index_dir, "tombstones")
+    repair_swap(tomb_dir)
     if not os.path.exists(tomb_dir):
         return read_stats(index_dir)
     tomb = np.sort(
@@ -621,38 +667,28 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     docs.join(tomb_df, "doc_id", "left_anti").write.mode(
         "overwrite").parquet(docs_tmp)
 
-    def _swap(path, t):
-        aside = path + "_old"
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
-        os.replace(path, aside)
-        os.replace(t, path)
-        shutil.rmtree(aside)
-
-    _swap(posts_path, tmp)
-    _swap(docs_path, docs_tmp)
+    swap_in(posts_path, tmp)
+    swap_in(docs_path, docs_tmp)
 
     docs = spark.read.parquet(docs_path)
-    row = docs.agg(F.count("*").alias("n"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
+    row = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        F.sum((F.col("dl") > 0).cast("long")).alias("n_tok"),
+    ).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     postings = spark.read.parquet(posts_path)
-    dictionary = postings.groupBy("term", "term_bucket").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    ).select(
-        "term", "term_bucket", "df", "cf",
-        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)).alias("idf"),
-    )
-    dict_tmp = os.path.join(index_dir, "dict_purge_tmp")
-    if os.path.exists(dict_tmp):
-        shutil.rmtree(dict_tmp)
-    (dictionary.repartition("term_bucket").write.mode("overwrite")
-     .partitionBy("term_bucket").parquet(dict_tmp))
-    _swap(os.path.join(index_dir, "dict"), dict_tmp)
+    dict_tmp = write_dictionary(spark, postings, n_docs, index_dir,
+                                to_tmp=True)
+    swap_in(os.path.join(index_dir, "dict"), dict_tmp)
 
     stats["n_docs"] = n_docs
     stats["avgdl"] = avgdl
+    stats["n_docs_tokenized"] = int(row["n_tok"] or 0)
+    if "split_counts" in stats:  # batch indexes: lineage stays true
+        stats["split_counts"] = {
+            str(r["split_id"]): int(r["n"]) for r in
+            docs.groupBy("split_id").agg(F.count("*").alias("n")).collect()
+        }
     _write_json_atomic(_stats_path(index_dir), stats)
 
     # merge.json is the lineage the inspect/verify tooling recounts

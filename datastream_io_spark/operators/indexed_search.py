@@ -83,6 +83,11 @@ class Searcher:
     ``dict_cache='spark'`` to keep Q2 as a bucket-pruned Spark lookup
     per query (one extra tiny job), which never materializes the dict
     anywhere whole.
+
+    Staleness contract: tombstone deletes are LIVE (re-read per query),
+    but anything that rewrites dict/stats underneath a warm handle —
+    purge_deleted, a rebuild at the same path — requires constructing a
+    new Searcher; the cached idf/avgdl would otherwise be stale.
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
@@ -277,7 +282,8 @@ def _phrase_filter(cand: np.ndarray, phrase: list[str], blocks_of: dict,
 
 
 def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
-                   k: int, decoded: dict) -> np.ndarray:
+                   k: int, decoded: dict,
+                   tv: np.ndarray | None = None) -> np.ndarray:
     """Decode-skipping candidate generation for disjunctive queries.
     Returns the sorted doc ids whose exact score can reach the top-k
     threshold; blocks that provably cannot matter are never decoded."""
@@ -306,8 +312,8 @@ def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
     # holds other queries' decodes, and seeding from all of them would
     # grow per-query work with batch size and defeat the skip.
     seed_keys = [(term, decode_next(term)) for term, _ in term_rows]
-    seed_ids = np.unique(np.concatenate(
-        [decoded[ck][0] for ck in seed_keys]))
+    seed_ids = _drop_dead(np.unique(np.concatenate(
+        [decoded[ck][0] for ck in seed_keys])), tv)
     if seed_ids.size >= k:
         seed_scores = _exact_scores(seed_ids, term_rows, idf, avgdl, decoded)
         theta = np.partition(seed_scores, seed_scores.size - k)[
@@ -348,7 +354,8 @@ def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
     uids, starts = np.unique(ids_cat[o], return_index=True)
     ub = np.add.reduceat(ub_cat[o], starts)
     slack = sum(U.values())
-    return uids[ub + slack >= theta] if theta > 0.0 else uids
+    out = uids[ub + slack >= theta] if theta > 0.0 else uids
+    return _drop_dead(out, tv)
 
 
 def _and_candidates(term_rows: list, n_terms: int,
@@ -392,16 +399,20 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k: int, mode: str, n_terms: int,
                 phrase: list[str] | None = None,
                 term_rows: list | None = None,
-                decoded: dict | None = None) -> pd.DataFrame:
+                decoded: dict | None = None,
+                tomb=None) -> pd.DataFrame:
     """Q7 kernel: one document-range split → ≤k exact-scored candidates.
     ``term_rows``/``decoded`` can be injected by the multi-query driver
-    (Q13) so block decodes are shared across the batch's queries."""
+    (Q13) so block decodes are shared across the batch's queries.
+    ``tomb`` (broadcast sorted tombstone ids) filters candidates BEFORE
+    θ seeding and the cut — deletes never weaken pruning soundness."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
     if term_rows is None:
         term_rows = [(r.term, list(r.blocks)) for r in pdf.itertuples()]
     if decoded is None:
         decoded = {}
+    tv = tomb.value if tomb is not None else None
 
     if mode == "phrase":
         if len(term_rows) < n_terms:
@@ -415,13 +426,14 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                                        None, None)
             cand = np.concatenate(
                 [decoded[(term0, j)][0] for j in range(len(blocks0))])
+        cand = _drop_dead(cand, tv)
         if cand.size == 0:
             return empty
         cand = _phrase_filter(cand, phrase, dict(term_rows), decoded)
         if cand.size == 0:
             return empty
     elif mode == "and" and n_terms > 1:
-        cand = _and_candidates(term_rows, n_terms, decoded)
+        cand = _drop_dead(_and_candidates(term_rows, n_terms, decoded), tv)
         if cand.size == 0:
             return empty
     elif k is None:
@@ -434,12 +446,12 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 if ck not in decoded:
                     decoded[ck] = (decode_block_docs(blocks[j]), None, None)
                 ids.append(decoded[ck][0])
-        cand = np.unique(np.concatenate(ids))
+        cand = _drop_dead(np.unique(np.concatenate(ids)), tv)
         if cand.size == 0:
             return empty
     else:
         # OR (and single-term AND ≡ OR): decode-skipping block-max
-        cand = _or_candidates(term_rows, idf, avgdl, k, decoded)
+        cand = _or_candidates(term_rows, idf, avgdl, k, decoded, tv)
         if cand.size == 0:
             return empty
     scores = _exact_scores(cand, term_rows, idf, avgdl, decoded)
@@ -549,8 +561,7 @@ def search_many(spark: SparkSession, index_dir: str,
     needed = sorted({t for fi, _ in plans.values() for t in fi})
 
     prows = postings_rows(spark, index_dir, buckets, needed)
-    tomb = _tombstones(spark, index_dir)
-    kernel_k = None if tomb is not None else k
+    tomb = _tombstones_broadcast(spark, index_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         rows_by_term = {r.term: (r.term, list(r.blocks))
@@ -562,8 +573,9 @@ def search_many(spark: SparkSession, index_dir: str,
                          if t in rows_by_term]
             if not term_rows:
                 continue
-            out = _wand_split(pdf, idf_q, avgdl, kernel_k, mode, n_terms,
-                              term_rows=term_rows, decoded=decoded)
+            out = _wand_split(pdf, idf_q, avgdl, k, mode, n_terms,
+                              term_rows=term_rows, decoded=decoded,
+                              tomb=tomb)
             if len(out):
                 out.insert(0, "query_id", qid)
                 outs.append(out)
@@ -575,8 +587,6 @@ def search_many(spark: SparkSession, index_dir: str,
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "query_id string, doc_id long, score double")
-    if tomb is not None:
-        cand = cand.join(tomb, "doc_id", "left_anti")
     # per-query candidates are ≤ k × n_splits rows — the rank window is
     # over a tiny set, not the corpus
     from pyspark.sql import Window
@@ -600,9 +610,16 @@ def delete_docs(spark: SparkSession, index_dir: str,
     standard live-docs design: corpus statistics keep counting deleted
     docs until the index is rebuilt, exactly like Lucene segments until
     a merge). Returns the number of tombstoned ids after dedup."""
+    from datastream_io_spark.operators.build import repair_swap, swap_in
+
     if (doc_ids is None) == (where is None):
         raise ValueError("pass exactly one of doc_ids / where")
     tomb_dir = os.path.join(index_dir, "tombstones")
+    repair_swap(tomb_dir)
+    existing = (spark.read.parquet(tomb_dir).count()
+                if os.path.exists(tomb_dir) else 0)
+    if doc_ids is not None and len(doc_ids) == 0:
+        return existing  # no-op must not create an empty tombstone set
     if doc_ids is not None:
         new = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long")
@@ -616,18 +633,49 @@ def delete_docs(spark: SparkSession, index_dir: str,
     tmp = tomb_dir + "_tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    if os.path.exists(tomb_dir):
+    if n == 0:
         import shutil
-        shutil.rmtree(tomb_dir)
-    os.replace(tmp, tomb_dir)
+        shutil.rmtree(tmp)
+        return existing
+    if os.path.exists(tomb_dir):
+        # repairable swap — a crash mid-replace must never silently
+        # resurrect previously deleted docs (the old rmtree+replace did)
+        swap_in(tomb_dir, tmp)
+    else:
+        os.replace(tmp, tomb_dir)
     return n
 
 
 def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    from datastream_io_spark.operators.build import repair_swap
+
     tomb_dir = os.path.join(index_dir, "tombstones")
+    repair_swap(tomb_dir)
     if not os.path.exists(tomb_dir):
         return None
     return spark.read.parquet(tomb_dir).select("doc_id")
+
+
+def _tombstones_broadcast(spark: SparkSession, index_dir: str):
+    """Sorted tombstone ids as a broadcast numpy array (None if no
+    deletes). Filtering happens INSIDE the kernels, before θ seeding
+    and before the per-split cut — so deletes keep block-max pruning
+    sound (a dead high scorer must not inflate θ) and keep the cut
+    enabled, instead of degrading every query to a full decode."""
+    df = _tombstones(spark, index_dir)
+    if df is None:
+        return None
+    arr = np.sort(df.toPandas()["doc_id"].to_numpy(np.int64))
+    return spark.sparkContext.broadcast(arr)
+
+
+def _drop_dead(ids: np.ndarray, tv: np.ndarray | None) -> np.ndarray:
+    """Remove tombstoned ids from a SORTED unique id array."""
+    if tv is None or tv.size == 0 or ids.size == 0:
+        return ids
+    pos = np.searchsorted(tv, ids)
+    pos_c = np.minimum(pos, tv.size - 1)
+    return ids[tv[pos_c] != ids]
 
 
 def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
@@ -736,10 +784,10 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
                mode, with_doc_cols, phrase=None, where=None):
     found_terms = sorted(idf)
     prows = postings_rows(spark, index_dir, buckets, found_terms)
-    tomb = _tombstones(spark, index_dir)
-    # a post-kernel filter (predicate or tombstones) can promote docs
-    # the per-split cut would drop — emit all candidates in that case
-    kernel_k = None if (where is not None or tomb is not None) else k
+    tomb = _tombstones_broadcast(spark, index_dir)
+    # only a docs-table predicate forces the emit-everything path; the
+    # tombstone filter runs inside the kernel so pruning/cut stay on
+    kernel_k = None if where is not None else k
 
     if len(found_terms) == 1 and n_terms == 1:
         # single-term fast path: no cross-term alignment needed, so skip
@@ -751,7 +799,7 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
             for pdf in it:
                 outs = [
                     _wand_split(pdf.iloc[[i]], idf, avgdl, kernel_k, mode,
-                                1, phrase)
+                                1, phrase, tomb=tomb)
                     for i in range(len(pdf))
                 ]
                 if outs:
@@ -761,12 +809,10 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
     else:
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return _wand_split(pdf, idf, avgdl, kernel_k, mode, n_terms,
-                               phrase)
+                               phrase, tomb=tomb)
 
         cand = prows.groupBy("split_id").applyInPandas(
             kernel, "doc_id long, score double")
-    if tomb is not None:
-        cand = cand.join(tomb, "doc_id", "left_anti")
     if where is not None:
         allowed = (
             spark.read.parquet(os.path.join(index_dir, "docs"))

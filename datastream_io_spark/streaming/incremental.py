@@ -234,16 +234,10 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     (merged.repartition("term_bucket").sortWithinPartitions("term")
      .write.mode("overwrite").partitionBy("term_bucket")
      .parquet(os.path.join(index_dir, "postings")))
+    from datastream_io_spark.operators.build import write_dictionary
+
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    dictionary = postings.groupBy("term", "term_bucket").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    ).select(
-        "term", "term_bucket", "df", "cf",
-        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)).alias("idf"),
-    )
-    (dictionary.repartition("term_bucket").write.mode("overwrite")
-     .partitionBy("term_bucket").parquet(os.path.join(index_dir, "dict")))
+    write_dictionary(spark, postings, n_docs, index_dir)
 
     stats = {
         "format": 2,
@@ -254,8 +248,9 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
+    n_terms = spark.read.parquet(os.path.join(index_dir, "dict")).count()
     with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
-        json.dump({"n_terms": dictionary.count()}, f)
+        json.dump({"n_terms": n_terms}, f)
     return stats
 
 
@@ -285,22 +280,10 @@ def compact_stream_index(spark: SparkSession, index_dir: str,
     verified before remapping."""
     import shutil
 
-    def _repair_swap(path: str) -> None:
-        """Finish a swap interrupted by a crash: restore ``path`` from
-        its aside copy if the rename-in never happened."""
-        aside = path + "_old"
-        if not os.path.exists(path) and os.path.exists(aside):
-            os.replace(aside, path)
-        if os.path.exists(path) and os.path.exists(aside):
-            shutil.rmtree(aside)  # rename-in completed, aside is stale
-
-    def _swap_in(path: str, tmp: str) -> None:
-        aside = path + "_old"
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
-        os.replace(path, aside)
-        os.replace(tmp, path)
-        shutil.rmtree(aside)
+    from datastream_io_spark.operators.build import (
+        repair_swap as _repair_swap,
+        swap_in as _swap_in,
+    )
 
     docs_path = os.path.join(index_dir, "docs")
     post_tmp = os.path.join(index_dir, "_postings_compact_tmp")

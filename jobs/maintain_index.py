@@ -33,6 +33,8 @@ def main(argv: list[str]) -> int:
     c.add_argument("--target-splits", type=int, required=True)
 
     args = p.parse_args(argv)
+    if args.cmd == "delete" and bool(args.doc_ids) == bool(args.where):
+        p.error("delete needs exactly one of --doc-ids (non-empty) / --where")
 
     from pyspark.sql import SparkSession
 
