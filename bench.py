@@ -129,6 +129,9 @@ def main() -> None:
             "n_queries_timed": len(lat_ms),
             "index_bytes_per_posting": round(bpp, 3),
             "index_postings": merge.get("n_postings", 0),
+            # per-phase breakdown of the headline build so a throughput
+            # delta attributes to a phase, not just the total
+            "corpus_build_phase_sec": merge.get("phase_sec", {}),
         },
     }
     shutil.rmtree(tmp, ignore_errors=True)
