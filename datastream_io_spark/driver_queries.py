@@ -16,8 +16,19 @@ value hash, SURVEY.md §5.1):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+
+
+def _dq_tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: the driver gate / oracle runner builds
+    throwaway indexes per run; without this every run leaked index
+    directories in /tmp (ADVICE r2)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -192,7 +203,7 @@ def q_bm25_indexed_and(spark, sf_dir):
     from datastream_io_spark.sources.scan import documents_as_corpus
 
     corpus = documents_as_corpus(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="dq_index_")
+    idx = _dq_tmpdir("dq_index_")
     build_index(spark, corpus, idx, n_splits=4, n_buckets=8,
                 tokenizer="simple", salt_threshold=100, n_salts=4,
                 source_desc=f"{sf_dir}/documents.parquet")
@@ -217,7 +228,7 @@ def _pos_index(spark, sf_dir: str) -> str:
     from datastream_io_spark.sources.scan import documents_as_corpus
 
     if sf_dir not in _POS_INDEX_CACHE:
-        idx = tempfile.mkdtemp(prefix="dq_posindex_")
+        idx = _dq_tmpdir("dq_posindex_")
         build_index(spark, documents_as_corpus(spark, sf_dir), idx,
                     n_splits=4, n_buckets=8, tokenizer="simple",
                     salt_threshold=100, n_salts=4, positions=True,
@@ -276,7 +287,7 @@ def q_delete_search(spark, sf_dir):
     )
     from datastream_io_spark.sources.scan import documents_as_corpus
 
-    idx = tempfile.mkdtemp(prefix="dq_delindex_")
+    idx = _dq_tmpdir("dq_delindex_")
     build_index(spark, documents_as_corpus(spark, sf_dir), idx,
                 n_splits=2, n_buckets=8, tokenizer="simple",
                 source_desc=f"{sf_dir}/documents.parquet")
@@ -1176,7 +1187,7 @@ def q_ivf_ann(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_clusters=8, n_iters=5)
-    idx = tempfile.mkdtemp(prefix="dq_ann_")
+    idx = _dq_tmpdir("dq_ann_")
     build_ann_index(emb, idx, cents)
     q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return search_ann_index(spark, idx, [float(v) for v in q], k=10, nprobe=3)

@@ -108,10 +108,63 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
+class maintenance_lock:
+    """Single-writer guard for index maintenance (delete / purge /
+    compact): an ``O_CREAT|O_EXCL`` lock file under the index dir. Two
+    concurrent maintenance ops on one index could otherwise interleave
+    their rename-aside/rename-in swap steps (ADVICE r2). Queries take NO
+    lock — they never run repair_swap or any rename; a reader racing a
+    swap sees either the old or the new directory (the documented
+    single-writer / many-reader contract)."""
+
+    def __init__(self, index_dir: str, op: str):
+        self.path = os.path.join(index_dir, "_MAINT_LOCK")
+        self.op = op
+        self.fd = None
+
+    def __enter__(self):
+        try:
+            self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with open(self.path) as f:
+                holder = f.read().strip()
+            raise RuntimeError(
+                f"index maintenance lock is held ({holder}) — another "
+                f"delete/purge/compact is running on this index; if it "
+                f"crashed, remove {self.path} and re-run") from None
+        os.write(self.fd, f"{self.op} pid={os.getpid()}".encode())
+        return self
+
+    def __exit__(self, *exc):
+        if self.fd is not None:
+            os.close(self.fd)
+        os.unlink(self.path)
+        return False
+
+
+def _purged_marker(index_dir: str) -> str:
+    return os.path.join(index_dir, "_PURGED")
+
+
+def check_not_purged(index_dir: str, phase: str) -> None:
+    """Refuse build-phase work on a purged index: purge rewrites
+    postings/docs/dict but leaves segments/ and staged_corpus/ stale, so
+    a stage-resume or finalize re-run would silently resurrect purged
+    docs from the old segments (ADVICE r2). Purged indexes are served,
+    never re-finalized — rebuild into a fresh directory instead."""
+    if os.path.exists(_purged_marker(index_dir)):
+        raise ValueError(
+            f"index at {index_dir} was physically purged; its segments/ "
+            f"and staged corpus are stale, so {phase} would resurrect "
+            "purged docs — rebuild into a fresh directory")
+
+
 def repair_swap(path: str) -> None:
     """Finish a directory swap interrupted by a crash: restore ``path``
     from its ``_old`` aside if the rename-in never happened, drop the
-    stale aside otherwise. Idempotent; call before touching ``path``."""
+    stale aside otherwise. Idempotent. MAINTENANCE-ONLY: call under
+    :class:`maintenance_lock`, never from the query path (a search
+    racing a live swap could otherwise restore the aside mid-swap)."""
     import shutil
 
     aside = path + "_old"
@@ -204,6 +257,7 @@ def stage_corpus(
 ) -> dict:
     """Phase A. Returns the frozen staging info. Skipped when already
     staged — doc ids are FROZEN across resumes (SURVEY.md §3.1)."""
+    check_not_purged(index_dir, "a staging resume")
     if os.path.exists(_staging_path(index_dir)):
         with open(_staging_path(index_dir)) as f:
             info = json.load(f)
@@ -463,6 +517,7 @@ def finalize_index(
     """Phase C — exact stats from manifests, pure-Column run merge,
     final layout. Idempotent. The only data moved is compressed blocks.
     """
+    check_not_purged(index_dir, "finalize")
     n_splits = info["n_splits"]
     n_buckets = info["n_buckets"]
     manifests = [M.read_split_manifest(index_dir, s) for s in range(n_splits)]
@@ -587,6 +642,11 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     deletes ≪ corpus (the operating assumption of tombstoning; at a
     deletes-heavy 10^12 scale you'd rewrite via an anti-join over the
     staged corpus instead, i.e. rebuild)."""
+    with maintenance_lock(index_dir, "purge"):
+        return _purge_deleted_locked(spark, index_dir)
+
+
+def _purge_deleted_locked(spark: SparkSession, index_dir: str) -> dict:
     import numpy as np
 
     from datastream_io_spark.operators.codec import (
@@ -689,6 +749,7 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
     stats["n_docs"] = n_docs
     stats["avgdl"] = avgdl
     stats["n_docs_tokenized"] = int(row["n_tok"] or 0)
+    stats["n_tombstones"] = 0
     if "split_counts" in stats:  # batch indexes: lineage stays true
         stats["split_counts"] = {
             str(r["split_id"]): int(r["n"]) for r in
@@ -717,6 +778,11 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> dict:
         })
         _write_json_atomic(merge_path, merge_metrics)
     shutil.rmtree(tomb_dir)
+    # build-phase re-runs (stage resume / finalize) must refuse from now
+    # on: segments/ and staged_corpus/ still contain the purged docs
+    with open(_purged_marker(index_dir), "w") as f:
+        f.write("purged — segments/staged corpus are stale; "
+                "rebuild into a fresh directory\n")
     return stats
 
 

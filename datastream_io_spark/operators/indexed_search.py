@@ -602,56 +602,97 @@ def search_many(spark: SparkSession, index_dir: str,
 
 def delete_docs(spark: SparkSession, index_dir: str,
                 doc_ids: list[int] | None = None,
-                where: str | None = None) -> int:
+                where: str | None = None,
+                max_frac: float | None = 0.5) -> int:
     """Q15 — tombstone deletes: mark docs (by id list or a docs-table
     predicate) so NO query mode ever returns them again. The index
     bytes are untouched — deleted ids go to a ``tombstones/`` parquet
     that every search path anti-joins before its top-k cut (the
     standard live-docs design: corpus statistics keep counting deleted
     docs until the index is rebuilt, exactly like Lucene segments until
-    a merge). Returns the number of tombstoned ids after dedup."""
-    from datastream_io_spark.operators.build import repair_swap, swap_in
+    a merge). Returns the number of tombstoned ids after dedup.
+
+    Tombstones are broadcast whole to every query (sorted id array), so
+    the design assumes deletes ≪ corpus. That assumption is now
+    ENFORCED, not hoped: the tombstone count lands in stats.json as
+    ``n_tombstones``, a delete taking the set past 10% of n_docs warns,
+    and past ``max_frac`` (default 50%) raises "purge first" — pass
+    ``max_frac=None`` to override. Takes the maintenance lock (single
+    writer; queries read lock-free)."""
+    import warnings
+
+    from datastream_io_spark.operators.build import (
+        _write_json_atomic,
+        maintenance_lock,
+        read_stats,
+        repair_swap,
+        swap_in,
+    )
 
     if (doc_ids is None) == (where is None):
         raise ValueError("pass exactly one of doc_ids / where")
     tomb_dir = os.path.join(index_dir, "tombstones")
-    repair_swap(tomb_dir)
-    existing = (spark.read.parquet(tomb_dir).count()
-                if os.path.exists(tomb_dir) else 0)
-    if doc_ids is not None and len(doc_ids) == 0:
-        return existing  # no-op must not create an empty tombstone set
-    if doc_ids is not None:
-        new = spark.createDataFrame(
-            [(int(d),) for d in doc_ids], "doc_id long")
-    else:
-        new = (spark.read.parquet(os.path.join(index_dir, "docs"))
-               .where(where).select("doc_id"))
-    if os.path.exists(tomb_dir):
-        new = new.unionByName(
-            spark.read.parquet(tomb_dir).select("doc_id"))
-    merged = new.distinct()
-    tmp = tomb_dir + "_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    if n == 0:
-        import shutil
-        shutil.rmtree(tmp)
-        return existing
-    if os.path.exists(tomb_dir):
-        # repairable swap — a crash mid-replace must never silently
-        # resurrect previously deleted docs (the old rmtree+replace did)
-        swap_in(tomb_dir, tmp)
-    else:
-        os.replace(tmp, tomb_dir)
-    return n
+    with maintenance_lock(index_dir, "delete"):
+        repair_swap(tomb_dir)
+        existing = (spark.read.parquet(tomb_dir).count()
+                    if os.path.exists(tomb_dir) else 0)
+        if doc_ids is not None and len(doc_ids) == 0:
+            return existing  # no-op must not create an empty tombstone set
+        if doc_ids is not None:
+            new = spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id long")
+        else:
+            new = (spark.read.parquet(os.path.join(index_dir, "docs"))
+                   .where(where).select("doc_id"))
+        if os.path.exists(tomb_dir):
+            new = new.unionByName(
+                spark.read.parquet(tomb_dir).select("doc_id"))
+        merged = new.distinct()
+        tmp = tomb_dir + "_tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        if n == 0:
+            import shutil
+            shutil.rmtree(tmp)
+            return existing
+
+        stats = read_stats(index_dir)
+        frac = n / max(int(stats["n_docs"]), 1)
+        if max_frac is not None and frac > max_frac:
+            import shutil
+            shutil.rmtree(tmp)
+            raise ValueError(
+                f"delete would tombstone {n} of {stats['n_docs']} docs "
+                f"({frac:.0%} > {max_frac:.0%}): the tombstone set is "
+                "broadcast to every query — run purge_deleted first "
+                "(or pass max_frac=None to force)")
+        if frac > 0.10:
+            warnings.warn(
+                f"tombstones now cover {frac:.0%} of the corpus "
+                f"({n}/{stats['n_docs']}); every query broadcasts this "
+                "set — consider purge_deleted", stacklevel=2)
+
+        if os.path.exists(tomb_dir):
+            # repairable swap — a crash mid-replace must never silently
+            # resurrect previously deleted docs (the old rmtree+replace)
+            swap_in(tomb_dir, tmp)
+        else:
+            os.replace(tmp, tomb_dir)
+        stats["n_tombstones"] = int(n)
+        _write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
+        return n
 
 
 def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    from datastream_io_spark.operators.build import repair_swap
-
+    """Read-only tombstone lookup for the QUERY path: takes no lock and
+    repairs nothing. If a maintenance swap is mid-flight (dir renamed
+    aside but not yet back), fall back to the ``_old`` aside — the
+    consistent pre-swap state."""
     tomb_dir = os.path.join(index_dir, "tombstones")
-    repair_swap(tomb_dir)
     if not os.path.exists(tomb_dir):
+        aside = tomb_dir + "_old"
+        if os.path.exists(aside):
+            return spark.read.parquet(aside).select("doc_id")
         return None
     return spark.read.parquet(tomb_dir).select("doc_id")
 

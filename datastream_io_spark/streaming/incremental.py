@@ -278,12 +278,32 @@ def compact_stream_index(spark: SparkSession, index_dir: str,
     re-running compact_stream_index completes or redoes the work. The
     docs/postings split-id consistency the group map depends on is
     verified before remapping."""
+    from datastream_io_spark.operators.build import maintenance_lock
+
+    with maintenance_lock(index_dir, "compact"):
+        return _compact_stream_index_locked(spark, index_dir,
+                                            target_splits)
+
+
+def _compact_stream_index_locked(spark: SparkSession, index_dir: str,
+                                 target_splits: int) -> dict:
     import shutil
 
     from datastream_io_spark.operators.build import (
         repair_swap as _repair_swap,
         swap_in as _swap_in,
     )
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        _stats = json.load(f)
+    if _stats.get("kind") != "streaming":
+        # a batch index keeps split_counts/split_offsets lineage keyed by
+        # the ORIGINAL split ids; remapping postings/docs underneath it
+        # would leave inspect/verify tooling reading stale lineage
+        raise ValueError(
+            "compact_stream_index only applies to streaming indexes "
+            f"(stats.kind={_stats.get('kind')!r}); batch indexes are "
+            "already one posting row per (term, split)")
 
     docs_path = os.path.join(index_dir, "docs")
     post_tmp = os.path.join(index_dir, "_postings_compact_tmp")

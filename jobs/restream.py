@@ -38,7 +38,10 @@ def main(argv: list[str]) -> int:
                         "detectors (dsio --modules)")
     p.add_argument("--threshold", type=float, default=3.0,
                    help="|score| above which a row is flagged anomalous")
-    p.add_argument("--out", required=True, help="scored parquet sink dir")
+    p.add_argument("--out", required=True,
+                   help="scored sink dir: one batch_NNNN parquet subdir "
+                        "per micro-batch (read back with "
+                        "recursiveFileLookup=true)")
     p.add_argument("--metrics-dir", default=None,
                    help="also run the dashboard metrics sink (dsio's "
                         "kibana/bokeh counterpart): windowed anomaly "
@@ -77,29 +80,27 @@ def main(argv: list[str]) -> int:
     scored = stream_fn(stream).withColumn(
         "is_anomaly", F.abs(F.col(score_col)) > args.threshold)
 
-    if args.metrics_dir:
-        # ONE pass: the stateful detector runs once; each micro-batch is
-        # both persisted (idempotent per-batch overwrite dir) and folded
-        # into the dashboard metrics feed
-        from datastream_io_spark.streaming.dashboard import metrics_sink
+    # the sink layout is the SAME with or without --metrics-dir (one
+    # batch_NNNN parquet dir per micro-batch, idempotent overwrite on
+    # redelivery): external consumers read --out identically in both
+    # modes (spark.read.option("recursiveFileLookup","true"))
+    from datastream_io_spark.streaming.dashboard import metrics_sink
 
-        def sink_both(batch_df, batch_id: int) -> None:
+    def sink(batch_df, batch_id: int) -> None:
+        if args.metrics_dir:
+            # ONE pass: the stateful detector runs once; the batch is
+            # both persisted and folded into the dashboard metrics feed
             batch_df.persist()
-            batch_df.write.mode("overwrite").parquet(
-                f"{args.out}/batch_{int(batch_id):04d}")
+        batch_df.write.mode("overwrite").parquet(
+            f"{args.out}/batch_{int(batch_id):04d}")
+        if args.metrics_dir:
             metrics_sink(spark, batch_df, batch_id, args.metrics_dir,
                          score_col, threshold=args.threshold)
             batch_df.unpersist()
 
-        q = (scored.writeStream.foreachBatch(sink_both)
-             .option("checkpointLocation", args.out + "_ckpt")
-             .outputMode("append").start())
-    else:
-        q = (scored.writeStream.format("parquet")
-             .option("path", args.out)
-             .option("checkpointLocation", args.out + "_ckpt")
-             .outputMode("append")
-             .start())
+    q = (scored.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", args.out + "_ckpt")
+         .outputMode("append").start())
     q.processAllAvailable()
     q.stop()
 

@@ -125,3 +125,65 @@ def test_purge_equals_fresh_build_on_survivors(spark, tmp_path):
     assert d_purged == d_fresh
     assert suggest_terms(spark, idx, "w", 3).collect() == \
         suggest_terms(spark, fresh, "w", 3).collect()
+
+
+def test_maintenance_guards(spark, tmp_path):
+    """r3 hygiene: (1) a purged index refuses build-phase re-runs that
+    would resurrect purged docs from stale segments; (2) a delete
+    crossing max_frac raises "purge first"; (3) the maintenance lock is
+    single-writer; (4) compaction refuses batch indexes."""
+    import os
+
+    from datastream_io_spark.operators.build import (
+        build_index,
+        finalize_index,
+        maintenance_lock,
+        purge_deleted,
+        read_stats,
+        stage_corpus,
+    )
+    from datastream_io_spark.streaming.incremental import (
+        compact_stream_index,
+    )
+
+    corpus = documents_as_corpus(spark, SF0001)
+    idx = str(tmp_path / "guard_idx")
+    build_index(spark, corpus, idx, n_splits=2, n_buckets=8,
+                tokenizer="simple")
+
+    # (2) fraction guard: tombstoning >50% of docs refuses, the
+    # tombstone set is unchanged, and stats track the live count
+    n_docs = read_stats(idx)["n_docs"]
+    delete_docs(spark, idx, doc_ids=[0, 1, 2])
+    assert read_stats(idx)["n_tombstones"] == 3
+    with pytest.raises(ValueError, match="purge"):
+        delete_docs(spark, idx, doc_ids=list(range(n_docs // 2 + 5)))
+    assert read_stats(idx)["n_tombstones"] == 3
+    # max_frac=None overrides — and a big warned delete still lands
+    with pytest.warns(UserWarning, match="tombstones"):
+        delete_docs(spark, idx, doc_ids=list(range(n_docs // 4)),
+                    max_frac=None)
+
+    # (3) single-writer lock
+    with maintenance_lock(idx, "test"):
+        with pytest.raises(RuntimeError, match="lock"):
+            delete_docs(spark, idx, doc_ids=[7])
+
+    # (1) purge marker: stage resume and finalize refuse afterwards
+    import json
+
+    with open(f"{idx}/staging.json") as f:
+        info = json.load(f)
+    purge_deleted(spark, idx)
+    assert read_stats(idx)["n_tombstones"] == 0
+    assert os.path.exists(f"{idx}/_PURGED")
+    with pytest.raises(ValueError, match="purged"):
+        finalize_index(spark, idx, info)
+    with pytest.raises(ValueError, match="purged"):
+        stage_corpus(spark, corpus, idx, 2, 8, "simple")
+    # the purged index still SERVES fine
+    assert search_indexed(spark, idx, "window agg", 5, "and").count() == 5
+
+    # (4) compaction is streaming-only
+    with pytest.raises(ValueError, match="streaming"):
+        compact_stream_index(spark, idx, target_splits=1)
