@@ -46,10 +46,12 @@ from datastream_io_spark.functions.xxhash import term_bucket
 from datastream_io_spark.operators.build import read_stats
 from datastream_io_spark.operators.codec import decode_block_docs
 from datastream_io_spark.operators.indexed_search import (
+    _and_candidates,
     _check_format,
     _drop_dead,
     _exact_scores,
     _phrase_filter,
+    _restrict_to_term,
     _tombstones_broadcast,
     global_topk,
     postings_rows,
@@ -204,7 +206,13 @@ def tree_has_phrase(node: tuple) -> bool:
 
 
 def _eval_node(node: tuple, blocks_of: dict, decoded: dict) -> np.ndarray:
-    """AST → sorted candidate doc ids within one split."""
+    """AST → sorted candidate doc ids within one split.
+
+    Conjunctive branches (and, phrase pre-intersection, term-leaf NOT)
+    use the same rarest-first block-skipping intersection as plain AND
+    search (``_and_candidates`` / ``_restrict_to_term``): only blocks
+    whose doc-id range overlaps the running candidate set are decoded.
+    OR branches must enumerate their full union by definition."""
     kind = node[0]
     none = np.zeros(0, np.int64)
     if kind == "term":
@@ -218,32 +226,55 @@ def _eval_node(node: tuple, blocks_of: dict, decoded: dict) -> np.ndarray:
         return np.concatenate(
             [decoded[(node[1], j)][0] for j in range(len(blocks))])
     if kind == "phrase":
-        cand = None
-        for t in set(node[1]):
-            s = _eval_node(("term", t), blocks_of, decoded)
-            cand = s if cand is None else np.intersect1d(
-                cand, s, assume_unique=True)
-            if cand.size == 0:
-                return none
+        rows = [(t, blocks_of.get(t)) for t in sorted(set(node[1]))]
+        if any(not b for _, b in rows):
+            return none
+        if len(rows) >= 2:
+            cand = _and_candidates(rows, len(rows), decoded)
+        else:
+            cand = _eval_node(("term", rows[0][0]), blocks_of, decoded)
+        if cand.size == 0:
+            return none
         return _phrase_filter(cand, list(node[1]), blocks_of, decoded)
     if kind == "or":
         out = none
         for c in node[1]:
             out = np.union1d(out, _eval_node(c, blocks_of, decoded))
         return out
-    # and
+    # and: evaluate complex children first (their result bounds the
+    # candidate set), then restrict by term leaves with block skipping
+    leaves = [c for c in node[1] if c[0] == "term"]
+    others = [c for c in node[1] if c[0] != "term"]
+    rows = [(c[1], blocks_of.get(c[1])) for c in leaves]
+    if any(not b for _, b in rows):
+        return none
     cand = None
-    for c in node[1]:
+    for c in others:
         s = _eval_node(c, blocks_of, decoded)
         cand = s if cand is None else np.intersect1d(
             cand, s, assume_unique=True)
         if cand.size == 0:
             return none
+    if cand is None:
+        cand = _and_candidates(rows, len(rows), decoded)
+    else:
+        for term, blocks in sorted(
+                rows, key=lambda r: sum(b["n"] for b in r[1])):
+            cand = _restrict_to_term(cand, term, blocks, decoded)
+            if cand.size == 0:
+                return none
     for c in node[2]:
         if cand.size == 0:
             return none
-        cand = np.setdiff1d(cand, _eval_node(c, blocks_of, decoded),
-                            assume_unique=True)
+        if c[0] == "term":
+            blocks = blocks_of.get(c[1])
+            if not blocks:
+                continue
+            hit = _restrict_to_term(cand, c[1], blocks, decoded)
+            cand = np.setdiff1d(cand, hit, assume_unique=True)
+        else:
+            cand = np.setdiff1d(cand, _eval_node(c, blocks_of, decoded),
+                                assume_unique=True)
     return cand
 
 

@@ -246,3 +246,45 @@ def test_search_many_matches_individual(spark, doc_index):
             exp = [(r.doc_id, round(r.score, 9)) for r in
                    search_indexed(spark, doc_index, q, 10, mode).collect()]
             assert got.get(qid, []) == exp, (qid, mode)
+
+
+def test_filtered_two_pass_skips_full_decode(spark, pos_index, pos_pdf):
+    """r3 (VERDICT what's-wrong #2): a selective-but-not-adversarial
+    filter must be answered by the PRUNED first pass (no emit-everything
+    decode); an adversarial filter (survivors below the per-split k'
+    cut) must fall back — and both must stay exact."""
+    from datastream_io_spark.operators import indexed_search as IX
+
+    def run(where, k=5, q="window agg", mode="or"):
+        stats = IX.read_stats(pos_index)
+        mode2, terms, phrase = IX._plan_terms(q, mode, stats)
+        rows = IX.lookup_terms(spark, pos_index, terms,
+                               int(stats["n_buckets"]))
+        idf = {r["term"]: float(r["idf"]) for r in rows}
+        buckets = sorted({int(r["term_bucket"]) for r in rows})
+        prows = IX.postings_rows(spark, pos_index, buckets, sorted(idf))
+        tomb = IX._tombstones_broadcast(spark, pos_index)
+        df, fell_back = IX._filtered_topk(
+            spark, pos_index, prows, idf, float(stats["avgdl"]),
+            len(terms), k, mode2, False, phrase, where, tomb)
+        return [(int(r.doc_id), round(float(r.score), 9))
+                for r in df.collect()], fell_back
+
+    full = brute_force_topk(pos_pdf, "window agg", k=10**6, mode="or")
+
+    # mild filter (keeps everything): pass 1 must suffice
+    got, fell_back = run("dl >= 0")
+    assert not fell_back
+    assert got == [(r["doc_id"], round(r["score"], 9)) for r in full[:5]]
+
+    # adversarial filter: only the 3 LOWEST-scoring matches survive —
+    # they sit far below every split's k' cut, so pass 2 must run and
+    # the answer must still be exact
+    worst = [r["doc_id"] for r in full[-3:]]
+    ids = ", ".join(str(d) for d in worst)
+    got, fell_back = run(f"doc_id IN ({ids})")
+    assert fell_back
+    exp = sorted(((r["doc_id"], round(r["score"], 9)) for r in full
+                  if r["doc_id"] in set(worst)),
+                 key=lambda t: (-t[1], t[0]))
+    assert got == exp
