@@ -109,6 +109,14 @@ def main() -> None:
     search_many(spark, doc_idx, batch, 10, "and").collect()
     timings[f"q_doc_batch{len(batch)}_and"] = time.time() - t0
 
+    # phrase batching (r3): the positional doc index answers K phrase
+    # queries in one job — same amortization as the AND batch
+    pbatch = {"p0": "window agg", "p1": "spark stream batch",
+              "p2": "scan merge"}
+    t0 = time.time()
+    search_many(spark, doc_idx, pbatch, 10, "phrase").collect()
+    timings[f"q_doc_batch{len(pbatch)}_phrase"] = time.time() - t0
+
     total = time.time() - t_suite
     p95 = float(np.percentile(np.array(lat_ms), 95))
     with open(os.path.join(code_idx, "manifest", "merge.json")) as f:

@@ -278,17 +278,44 @@ def _eval_node(node: tuple, blocks_of: dict, decoded: dict) -> np.ndarray:
     return cand
 
 
-def search_boolean(spark: SparkSession, index_dir: str, query: str,
-                   k: int = 10, with_doc_cols: bool = False) -> DataFrame:
-    """Q11 — boolean-filtered BM25 top-k over the built index."""
-    stats = read_stats(index_dir)
-    _check_format(stats, index_dir)
+def score_tree_split(tree: tuple, idf: dict[str, float], avgdl: float,
+                     k: int, blocks_of: dict, decoded: dict,
+                     tv=None) -> pd.DataFrame:
+    """One split's boolean evaluation: select candidates via the AST,
+    drop tombstoned docs, exact-score over the query's positive terms
+    (sorted order), cut to ≤k. Shared by single-query search_boolean
+    and the batched serving path (search_many mode='boolean'), which
+    injects its per-batch shared ``decoded`` cache."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    cand = _drop_dead(_eval_node(tree, blocks_of, decoded), tv)
+    if cand.size == 0:
+        return empty
+    score_rows = [(t, blocks_of[t]) for t in sorted(idf)
+                  if t in blocks_of]
+    scores = _exact_scores(cand, score_rows, idf, avgdl, decoded)
+    sel = np.lexsort((cand, -scores))[:min(k, cand.size)]
+    return pd.DataFrame({"doc_id": cand[sel].astype("int64"),
+                         "score": scores[sel].astype("float64")})
+
+
+def plan_boolean(query: str, stats: dict) -> tuple[tuple, set, set]:
+    """Parse + positions guard; returns (tree, positives, all_terms)."""
     tree = parse_boolean(query, stats["tokenizer"])
     if tree_has_phrase(tree) and not stats.get("positions", False):
         raise ValueError(
             "quoted phrases need a positional index — rebuild with "
             "build_index(..., positions=True)")
     positives, all_terms = tree_terms(tree)
+    return tree, positives, all_terms
+
+
+def search_boolean(spark: SparkSession, index_dir: str, query: str,
+                   k: int = 10, with_doc_cols: bool = False) -> DataFrame:
+    """Q11 — boolean-filtered BM25 top-k over the built index."""
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    tree, positives, all_terms = plan_boolean(query, stats)
     n_buckets = int(stats["n_buckets"])
     avgdl = float(stats["avgdl"])
     buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
@@ -305,20 +332,9 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
     tomb = _tombstones_broadcast(spark, index_dir)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "score": pd.Series([], dtype="float64")})
         blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
-        decoded: dict = {}
         tv = tomb.value if tomb is not None else None
-        cand = _drop_dead(_eval_node(tree, blocks_of, decoded), tv)
-        if cand.size == 0:
-            return empty
-        score_rows = [(t, blocks_of[t]) for t in sorted(idf)
-                      if t in blocks_of]
-        scores = _exact_scores(cand, score_rows, idf, avgdl, decoded)
-        sel = np.lexsort((cand, -scores))[:min(k, cand.size)]
-        return pd.DataFrame({"doc_id": cand[sel].astype("int64"),
-                             "score": scores[sel].astype("float64")})
+        return score_tree_split(tree, idf, avgdl, k, blocks_of, {}, tv)
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "doc_id long, score double")

@@ -545,63 +545,110 @@ def search_many(spark: SparkSession, index_dir: str,
     workload should amortize it. One bucket-pruned postings scan covers
     the UNION of all query terms; inside each split the per-query
     kernels share one block-decode cache, so overlapping terms decode
-    once for the whole batch. Returns DF[query_id, doc_id, score] with
-    per-query (score desc, doc_id asc) top-k — each query's rows are
-    identical to its individual ``search_indexed`` answer."""
-    if mode not in ("and", "or"):
-        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    once for the whole batch. All four single-query modes batch:
+    'and' | 'or' | 'phrase' (positional index) | 'boolean' (each query
+    string is a full boolean expression, quoted phrases included).
+    Returns DF[query_id, doc_id, score] with per-query (score desc,
+    doc_id asc) top-k — each query's rows are identical to its
+    individual ``search_indexed`` / ``search_boolean`` answer."""
+    if mode not in ("and", "or", "phrase", "boolean"):
+        raise ValueError(
+            f"mode must be 'and', 'or', 'phrase' or 'boolean', got {mode!r}")
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
     avgdl = float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
-
-    parsed = {qid: parse_query(q, stats["tokenizer"])
-              for qid, q in queries.items()}
-    all_terms = sorted({t for ts in parsed.values() for t in ts})
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double")
-    if not all_terms:
-        return empty
-    dict_rows = lookup_terms(spark, index_dir, all_terms, n_buckets)
-    idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
-    plans = {}  # qid -> (idf subset, n_terms)
-    for qid, terms in parsed.items():
-        found = {t: idf_all[t] for t in terms if t in idf_all}
-        if not terms or not found:
-            continue
-        if mode == "and" and len(found) < len(terms):
-            continue  # a term is absent from the corpus
-        plans[qid] = (found, len(terms))
-    if not plans:
-        return empty
-    buckets = sorted({term_bucket(t, n_buckets) for fi, _ in plans.values()
-                      for t in fi})
-    needed = sorted({t for fi, _ in plans.values() for t in fi})
 
-    prows = postings_rows(spark, index_dir, buckets, needed)
-    tomb = _tombstones_broadcast(spark, index_dir)
+    if mode == "boolean":
+        from datastream_io_spark.operators.boolean_search import (
+            plan_boolean,
+            score_tree_split,
+        )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows_by_term = {r.term: (r.term, list(r.blocks))
-                        for r in pdf.itertuples()}
-        decoded: dict = {}  # shared across the batch's queries
-        outs = []
-        for qid, (idf_q, n_terms) in plans.items():
-            term_rows = [rows_by_term[t] for t in sorted(idf_q)
-                         if t in rows_by_term]
-            if not term_rows:
+        trees, pos_all, all_terms = {}, set(), set()
+        for qid, q in queries.items():
+            tree, pos, terms = plan_boolean(q, stats)
+            trees[qid] = (tree, pos)
+            pos_all |= pos
+            all_terms |= terms
+        if not all_terms:
+            return empty
+        dict_rows = lookup_terms(spark, index_dir, sorted(pos_all),
+                                 n_buckets)
+        idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
+        plans_b = {qid: ({t: idf_all[t] for t in pos if t in idf_all},
+                         tree)
+                   for qid, (tree, pos) in trees.items()}
+        buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+        prows = postings_rows(spark, index_dir, buckets,
+                              sorted(all_terms))
+        tomb = _tombstones_broadcast(spark, index_dir)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
+            decoded: dict = {}  # shared across the batch's queries
+            tv = tomb.value if tomb is not None else None
+            outs = []
+            for qid, (idf_q, tree) in plans_b.items():
+                out = score_tree_split(tree, idf_q, avgdl, k, blocks_of,
+                                       decoded, tv)
+                if len(out):
+                    out.insert(0, "query_id", qid)
+                    outs.append(out)
+            return _concat_query_outs(outs)
+
+    else:
+        # and / or / phrase all run the _wand_split kernel; _plan_terms
+        # resolves the per-query mode (a 1-token phrase degrades to AND)
+        # and enforces the positional-index requirement
+        plans = {}  # qid -> (idf subset, n_terms, qmode, phrase)
+        idf_needed: set = set()
+        for qid, q in queries.items():
+            qmode, terms, phrase = _plan_terms(q, mode, stats)
+            if terms:
+                plans[qid] = (terms, qmode, phrase)
+                idf_needed.update(terms)
+        if not plans:
+            return empty
+        dict_rows = lookup_terms(spark, index_dir, sorted(idf_needed),
+                                 n_buckets)
+        idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
+        plans_w = {}
+        for qid, (terms, qmode, phrase) in plans.items():
+            found = {t: idf_all[t] for t in terms if t in idf_all}
+            if not found:
                 continue
-            out = _wand_split(pdf, idf_q, avgdl, k, mode, n_terms,
-                              term_rows=term_rows, decoded=decoded,
-                              tomb=tomb)
-            if len(out):
-                out.insert(0, "query_id", qid)
-                outs.append(out)
-        if not outs:
-            return pd.DataFrame({"query_id": pd.Series([], dtype="object"),
-                                 "doc_id": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-        return pd.concat(outs, ignore_index=True)
+            if qmode in ("and", "phrase") and len(found) < len(terms):
+                continue  # a term is absent from the corpus
+            plans_w[qid] = (found, len(terms), qmode, phrase)
+        if not plans_w:
+            return empty
+        buckets = sorted({term_bucket(t, n_buckets)
+                          for fi, _, _, _ in plans_w.values() for t in fi})
+        needed = sorted({t for fi, _, _, _ in plans_w.values()
+                         for t in fi})
+        prows = postings_rows(spark, index_dir, buckets, needed)
+        tomb = _tombstones_broadcast(spark, index_dir)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows_by_term = {r.term: (r.term, list(r.blocks))
+                            for r in pdf.itertuples()}
+            decoded: dict = {}  # shared across the batch's queries
+            outs = []
+            for qid, (idf_q, n_terms, qmode, phrase) in plans_w.items():
+                term_rows = [rows_by_term[t] for t in sorted(idf_q)
+                             if t in rows_by_term]
+                if not term_rows:
+                    continue
+                out = _wand_split(pdf, idf_q, avgdl, k, qmode, n_terms,
+                                  phrase=phrase, term_rows=term_rows,
+                                  decoded=decoded, tomb=tomb)
+                if len(out):
+                    out.insert(0, "query_id", qid)
+                    outs.append(out)
+            return _concat_query_outs(outs)
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "query_id string, doc_id long, score double")
@@ -616,6 +663,14 @@ def search_many(spark: SparkSession, index_dir: str,
         .where(F.col("_rn") <= k).drop("_rn")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
+
+
+def _concat_query_outs(outs: list) -> pd.DataFrame:
+    if not outs:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="object"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    return pd.concat(outs, ignore_index=True)
 
 
 def delete_docs(spark: SparkSession, index_dir: str,

@@ -288,3 +288,40 @@ def test_filtered_two_pass_skips_full_decode(spark, pos_index, pos_pdf):
                   if r["doc_id"] in set(worst)),
                  key=lambda t: (-t[1], t[0]))
     assert got == exp
+
+
+def test_search_many_phrase_and_boolean(spark, pos_index):
+    """r3: batched serving covers phrase and boolean modes — every
+    query's rows equal its individual search_indexed / search_boolean
+    answer (shared decode cache must not leak between queries)."""
+    from datastream_io_spark.operators.boolean_search import search_boolean
+    from datastream_io_spark.operators.indexed_search import (
+        search_indexed,
+        search_many,
+    )
+
+    phrase_qs = {"p1": "window agg", "p2": "spark stream batch",
+                 "p3": "window", "p4": "zzznope window"}
+    batch = search_many(spark, pos_index, phrase_qs, k=10, mode="phrase")
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 9)))
+    for qid, q in phrase_qs.items():
+        exp = [(r.doc_id, round(r.score, 9)) for r in
+               search_indexed(spark, pos_index, q, 10, "phrase").collect()]
+        assert got.get(qid, []) == exp, qid
+
+    bool_qs = {"b1": 'window AND (agg OR scan) NOT merge',
+               "b2": '"window agg" OR sort',
+               "b3": 'window NOT window'}
+    batch = search_many(spark, pos_index, bool_qs, k=10, mode="boolean")
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 9)))
+    for qid, q in bool_qs.items():
+        exp = [(r.doc_id, round(r.score, 9)) for r in
+               search_boolean(spark, pos_index, q, 10).collect()]
+        assert got.get(qid, []) == exp, qid
+
+    with pytest.raises(ValueError, match="mode"):
+        search_many(spark, pos_index, {"x": "a"}, 10, "nope")
