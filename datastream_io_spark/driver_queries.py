@@ -271,6 +271,73 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 )
 
 
+def q_snippets(spark, sf_dir):
+    """Q16 — display snippets: densest ``width``-token window around the
+    phrase top-10's match positions, from the positional index + one
+    broadcast corpus join (only the 10 hits are re-tokenized). Oracle
+    re-derives the window by tokenizing the fixture text in SQL."""
+    from datastream_io_spark.operators.indexed_search import snippets
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    idx = _pos_index(spark, sf_dir)
+    sn = snippets(spark, idx, documents_as_corpus(spark, sf_dir),
+                  "window agg", k=10, mode="phrase", width=8)
+    docs = spark.read.parquet(os.path.join(idx, "docs")).select(
+        "doc_id", F.substring("path", 5, 32).cast("long").alias("fix_id"))
+    return (
+        docs.join(F.broadcast(sn), "doc_id")
+        .select(F.col("fix_id").alias("doc_id"),
+                F.round("score", 6).alias("score"), "snippet",
+                F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
+o_snippets = (
+    BM25_CTE.format(terms="'window', 'agg'")
+    + """,
+norm AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), t -> t <> '') AS tokens
+  FROM documents
+),
+ph AS (SELECT doc_id FROM norm
+       WHERE contains(' ' || array_to_string(tokens, ' ') || ' ',
+                      ' window agg ')),
+top10 AS (
+  SELECT sc.doc_id, round(sum(s), 6) AS score
+  FROM sc JOIN ph USING (doc_id)
+  GROUP BY sc.doc_id HAVING count(*) = 2
+  ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+),
+pos AS (
+  SELECT doc_id, unnest(tokens) AS term,
+         CAST(generate_subscripts(tokens, 1) - 1 AS BIGINT) AS p
+  FROM norm
+),
+mp AS (SELECT doc_id, p FROM pos
+       WHERE term IN ('window', 'agg')
+         AND doc_id IN (SELECT doc_id FROM top10)),
+cnt AS (
+  SELECT a.doc_id, a.p, count(*) AS c
+  FROM mp a JOIN mp b
+    ON b.doc_id = a.doc_id AND b.p >= a.p AND b.p < a.p + 8
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, p, c FROM (
+    SELECT doc_id, p, c, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, p ASC) AS rn
+    FROM cnt) WHERE rn = 1
+)
+SELECT t.doc_id, t.score,
+       array_to_string(list_slice(n.tokens, b.p + 1, b.p + 8), ' ')
+         AS snippet,
+       CAST(b.c AS BIGINT) AS n_hits
+FROM top10 t JOIN best b USING (doc_id) JOIN norm n USING (doc_id)
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # §2.2 scalar expressions (P3, P4)
 # --------------------------------------------------------------------------
@@ -1257,6 +1324,7 @@ QUERIES = {
     "bm25_indexed_and": q_bm25_indexed_and,
     "phrase_indexed": q_phrase_indexed,
     "match_positions": q_match_positions,
+    "snippets": q_snippets,
     "boolean_search": q_boolean_search,
     "filtered_search": q_filtered_search,
     "search_many": q_search_many,
@@ -1316,6 +1384,7 @@ ORACLES = {
     "bm25_indexed_and": o_bm25_indexed_and,
     "phrase_indexed": o_phrase_indexed,
     "match_positions": o_match_positions,
+    "snippets": o_snippets,
     "boolean_search": o_boolean_search,
     "filtered_search": o_filtered_search,
     "search_many": o_search_many,

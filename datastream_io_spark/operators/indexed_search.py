@@ -535,6 +535,76 @@ def match_positions(spark: SparkSession, index_dir: str, query: str,
     return prows.mapInPandas(kernel, "doc_id long, term string, pos int")
 
 
+def snippets(spark: SparkSession, index_dir: str, corpus: DataFrame,
+             query: str, k: int = 10, mode: str = "and",
+             width: int = 12) -> DataFrame:
+    """Q16 — display snippets: for each top-k hit, the ``width``-token
+    window of its content holding the densest cluster of query-term
+    matches. Composes Q8 (top-k) + Q10 (index-side positions) with ONE
+    bucket-pruned positions scan and one broadcast join against the
+    corpus — only the k result docs are ever re-tokenized, at any
+    corpus size.
+
+    Semantics (deterministic, oracle-replicable): anchor the window at
+    the match position maximizing the count of query-term occurrences
+    in [start, start + width); ties pick the smallest start. The
+    snippet is the space-joined tokens of that window — token form (the
+    index's own normalization), not raw text. ``corpus`` supplies the
+    content keyed by (repo, path, commit); the served index stores no
+    content. Returns DF[doc_id, score, snippet, n_hits] in (score desc,
+    doc_id asc) order, where n_hits counts matches inside the window."""
+    from datastream_io_spark.functions.tokenize import tokenizer_for
+
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    empty = spark.createDataFrame(
+        [], "doc_id long, score double, snippet string, n_hits int")
+    top = search_indexed(spark, index_dir, query, k, mode,
+                         with_doc_cols=True).collect()
+    if not top:
+        return empty
+    mp = match_positions(spark, index_dir, query,
+                         [r.doc_id for r in top])
+    pos_of = mp.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("mpos"))
+    meta = spark.createDataFrame(
+        [(r.doc_id, r.repo, r.path, r.commit, r.score) for r in top],
+        "doc_id long, repo string, path string, commit string, "
+        "score double")
+    # corpus is the big side: scan it once, broadcast the ≤k metadata
+    with_text = (
+        corpus.join(F.broadcast(meta), ["repo", "path", "commit"])
+        .dropDuplicates(["doc_id"])
+        .join(F.broadcast(pos_of), "doc_id")
+        .select("doc_id", "score", "content", "mpos")
+    )
+    pure, _ = tokenizer_for(stats["tokenizer"])
+
+    def kernel(it):
+        for pdf in it:
+            outs = {"doc_id": [], "score": [], "snippet": [],
+                    "n_hits": []}
+            for r in pdf.itertuples():
+                toks = pure(r.content)
+                p = np.asarray(r.mpos, np.int64)
+                # count of matches in [p_i, p_i + width) per anchor;
+                # ascending anchors + strict > keep the smallest start
+                cnt = np.searchsorted(p, p + width, side="left") \
+                    - np.arange(p.size)
+                best = int(np.argmax(cnt))  # first max = smallest start
+                start = int(p[best])
+                outs["doc_id"].append(r.doc_id)
+                outs["score"].append(r.score)
+                outs["snippet"].append(
+                    " ".join(toks[start:start + width]))
+                outs["n_hits"].append(int(cnt[best]))
+            yield pd.DataFrame(outs)
+
+    out = with_text.mapInPandas(
+        kernel, "doc_id long, score double, snippet string, n_hits int")
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def search_many(spark: SparkSession, index_dir: str,
                 queries: dict[str, str], k: int = 10,
                 mode: str = "and") -> DataFrame:

@@ -133,3 +133,35 @@ def test_match_positions_guards(spark, pos_index, doc_index):
     assert match_positions(spark, pos_index, "window", []).count() == 0
     with pytest.raises(ValueError, match="positional"):
         match_positions(spark, doc_index, "window", [1])
+
+
+def test_snippets_densest_window(spark, pos_index, pos_pdf):
+    """r3 Q16: snippet = width-token window anchored at the match
+    position with the most query-term matches inside (tie → smallest
+    start), verified against an independent brute-force over every
+    anchor; scores/docs must equal the phrase top-k."""
+    from datastream_io_spark.functions.tokenize import tokenize_simple
+    from datastream_io_spark.operators.indexed_search import (
+        search_indexed,
+        snippets,
+    )
+    from datastream_io_spark.sources.scan import documents_as_corpus
+    from tests.conftest import SF0001
+
+    width, q = 9, "window agg"
+    corpus = documents_as_corpus(spark, SF0001)
+    got = snippets(spark, pos_index, corpus, q, k=10, mode="phrase",
+                   width=width).collect()
+    top = search_indexed(spark, pos_index, q, 10, "phrase").collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == \
+        [(r.doc_id, round(r.score, 9)) for r in top]
+
+    text_of = dict(zip(pos_pdf["doc_id"], pos_pdf["text"]))
+    for r in got:
+        toks = tokenize_simple(text_of[r.doc_id])
+        hits = [i for i, t in enumerate(toks) if t in ("window", "agg")]
+        best = max(hits, key=lambda p: (
+            sum(1 for x in hits if p <= x < p + width), -p))
+        n_best = sum(1 for x in hits if best <= x < best + width)
+        assert r.snippet == " ".join(toks[best:best + width]), r.doc_id
+        assert r.n_hits == n_best
