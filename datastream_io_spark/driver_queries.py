@@ -836,17 +836,29 @@ o_distinct_segments = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
 def q_set_ops_brands(spark, sf_dir):
-    """W7 — brands selling ECONOMY parts but no SMALL parts."""
+    """W7 — intersect AND except in one catalog entry (consolidated r3
+    so every oracle-bearing entry fits the driver's 50-row window):
+    brands selling both ECONOMY and PROMO parts (op='both') unioned
+    with brands selling ECONOMY but no SMALL parts (op='econ_only')."""
     p = load_table(spark, sf_dir, "part")
-    econ = p.where(F.col("p_type") == "ECONOMY").select("p_brand")
-    small = p.where(F.col("p_type") == "SMALL").select("p_brand")
-    return econ.distinct().exceptAll(small.distinct())
+    econ = p.where(F.col("p_type") == "ECONOMY").select("p_brand").distinct()
+    promo = p.where(F.col("p_type") == "PROMO").select("p_brand").distinct()
+    small = p.where(F.col("p_type") == "SMALL").select("p_brand").distinct()
+    both = econ.intersect(promo).withColumn("op", F.lit("both"))
+    only = econ.exceptAll(small).withColumn("op", F.lit("econ_only"))
+    return both.unionByName(only)
 
 
 o_set_ops_brands = """
-SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
-EXCEPT
-SELECT DISTINCT p_brand FROM part WHERE p_type = 'SMALL'
+SELECT p_brand, 'both' AS op FROM (
+  SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
+  INTERSECT
+  SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO')
+UNION ALL
+SELECT p_brand, 'econ_only' AS op FROM (
+  SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
+  EXCEPT
+  SELECT DISTINCT p_brand FROM part WHERE p_type = 'SMALL')
 """
 
 
@@ -865,21 +877,6 @@ o_cross_join_small = (
     "SELECT r_name, o_orderstatus FROM region "
     "CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t"
 )
-
-
-def q_intersect_brands(spark, sf_dir):
-    """W7 — brands selling BOTH economy and promo parts."""
-    p = load_table(spark, sf_dir, "part")
-    a = p.where(F.col("p_type") == "ECONOMY").select("p_brand").distinct()
-    b = p.where(F.col("p_type") == "PROMO").select("p_brand").distinct()
-    return a.intersect(b)
-
-
-o_intersect_brands = """
-SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY'
-INTERSECT
-SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO'
-"""
 
 
 def q_global_sort_suppliers(spark, sf_dir):
@@ -1312,6 +1309,12 @@ def q_approx_aggs(spark, sf_dir):
 # catalogs
 # --------------------------------------------------------------------------
 
+# ORDER MATTERS: the driver's correctness harness records the FIRST 50
+# dict entries (CORRECTNESS_r02 silently dropped everything after #50),
+# so all 49 oracle-bearing entries come first, ivf_ann (rows-only but
+# plan-load-bearing: the persisted cluster-pruned ANN read) takes slot
+# 50, and the remaining rows-only demos fill the tail — they stay
+# callable and pytest-verified, just without a driver row.
 QUERIES = {
     "tokenize_explode": q_tokenize_explode,
     "term_freq": q_term_freq,
@@ -1333,6 +1336,7 @@ QUERIES = {
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
     "agg_pricing_summary": q_agg_pricing_summary,
+    "grouped_agg_udaf": q_grouped_agg_udaf,
     "rollup_metrics": q_rollup_metrics,
     "cube_orders": q_cube_orders,
     "join_dims_broadcast": q_join_dims_broadcast,
@@ -1348,7 +1352,6 @@ QUERIES = {
     "distinct_segments": q_distinct_segments,
     "set_ops_brands": q_set_ops_brands,
     "cross_join_small": q_cross_join_small,
-    "intersect_brands": q_intersect_brands,
     "global_sort_suppliers": q_global_sort_suppliers,
     "array_ops_extended": q_array_ops_extended,
     "string_funcs": q_string_funcs,
@@ -1362,14 +1365,14 @@ QUERIES = {
     "token_count": q_token_count,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
+    "ivf_ann": q_ivf_ann,                          # slot 50 (rows-only)
+    # ---- past the driver's 50-row window: rows-only by design ----
+    "approx_aggs": q_approx_aggs,
     "lang_id": q_lang_id,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_neardup": q_embedding_neardup,
-    "ivf_ann": q_ivf_ann,
     "multimodal_features": q_multimodal_features,
-    "grouped_agg_udaf": q_grouped_agg_udaf,
-    "approx_aggs": q_approx_aggs,
 }
 
 ORACLES = {
@@ -1408,7 +1411,6 @@ ORACLES = {
     "distinct_segments": o_distinct_segments,
     "set_ops_brands": o_set_ops_brands,
     "cross_join_small": o_cross_join_small,
-    "intersect_brands": o_intersect_brands,
     "global_sort_suppliers": o_global_sort_suppliers,
     "array_ops_extended": o_array_ops_extended,
     "string_funcs": o_string_funcs,
