@@ -282,23 +282,35 @@ def simhash64(docs: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            toks = t.lower().encode("utf-8", "surrogatepass").split()
-            if not toks:
-                out[i] = 0
-                continue
-            uniq, counts = np.unique(
-                np.array(toks, dtype=np.bytes_)
-                .astype(f"S{_MAX_TOKEN_BYTES}"), return_counts=True)
-            hv = _hash_tokens_u64(uniq)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            val = ((votes > 0).astype(np.uint64)
-                   << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-            out[i] = np.int64(val.astype(np.int64))
-        return pd.Series(out)
+        # batched like the MinHash UDF: ONE flat token array over the
+        # whole Arrow batch, one hash pass, per-doc bit votes via
+        # sorted-segment reduceat (the per-doc Python loop was the same
+        # shape the minhash UDF escaped in r2 — VERDICT what's-wrong
+        # #6). tf-weighting needs no np.unique: summing each token
+        # INSTANCE's ±1 bit vector equals count-weighted unique sums.
+        tok_lists = [t.lower().encode("utf-8", "surrogatepass").split()
+                     for t in texts]
+        lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                           len(tok_lists))
+        shifts = np.arange(64, dtype=np.uint64)
+        votes = np.zeros((len(texts), 64), np.int64)
+        if int(lens.sum()):
+            flat = np.array([tok for lst in tok_lists for tok in lst],
+                            dtype=np.bytes_).astype(f"S{_MAX_TOKEN_BYTES}")
+            hv = _hash_tokens_u64(flat)
+            doc_of = np.repeat(np.arange(len(texts)), lens)
+            chunk = 1 << 20  # bound the 64-wide sign matrix to ~512 MB/8
+            for s in range(0, hv.size, chunk):
+                e = min(s + chunk, hv.size)
+                signs = (((hv[s:e, None] >> shifts[None, :])
+                          & np.uint64(1)).astype(np.int64) * 2 - 1)
+                d = doc_of[s:e]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], d[1:] != d[:-1])))
+                votes[d[starts]] += np.add.reduceat(signs, starts, axis=0)
+        vals = ((votes > 0).astype(np.uint64)
+                << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(vals.astype(np.int64))
 
     return docs.select(F.col(id_col).alias("id"),
                        sim_udf(F.col(text_col)).alias("simhash"))

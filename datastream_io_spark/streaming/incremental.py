@@ -68,10 +68,33 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
 
     from pyspark.sql import Window
 
-    w = Window.orderBy("repo", "path", "commit")  # deterministic within batch
-    with_ids = batch_df.withColumn(
-        "doc_id", F.lit(offset) + F.row_number().over(w).cast("long") - 1
-    )
+    # two-level id assignment WITHIN the batch (same scheme as the batch
+    # builder's stage_corpus): hash rows into P parts, prefix-sum the
+    # part counts, row_number inside each part. A global
+    # Window.orderBy(...) with no partitionBy funneled every micro-batch
+    # through ONE task (VERDICT r2 what's-wrong #5); this fans out to P
+    # tasks while staying deterministic for any input partitioning —
+    # ids depend only on the doc keys, not arrival layout.
+    n_parts = max(4, spark.sparkContext.defaultParallelism)
+    part_col = F.pmod(
+        F.xxhash64("repo", "path", "commit"), F.lit(n_parts)).cast("int")
+    with_part = batch_df.withColumn("_part", part_col)
+    counts = {
+        int(r["_part"]): int(r["n"]) for r in
+        with_part.groupBy("_part").agg(F.count("*").alias("n")).collect()
+    }
+    part_offsets, acc = [], 0
+    for p in range(n_parts):
+        part_offsets.append(acc)
+        acc += counts.get(p, 0)
+    off_col = F.element_at(
+        F.array(*[F.lit(o) for o in part_offsets]),
+        F.col("_part") + 1).cast("long")
+    w = Window.partitionBy("_part").orderBy("repo", "path", "commit")
+    with_ids = batch_df.withColumn("_part", part_col).withColumn(
+        "doc_id",
+        F.lit(offset) + off_col + F.row_number().over(w).cast("long") - 1,
+    ).drop("_part")
     tok = P.with_tokens(with_ids, "content", mode=tokenizer, use_udf=True)
     docs = tok.select(
         "doc_id", "repo", "path", "commit", "lang",

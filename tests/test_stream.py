@@ -359,3 +359,26 @@ def test_compact_stream_index_preserves_results(spark, tmp_path):
         got = [(r.doc_id, round(r.score, 9)) for r in
                search_indexed(spark, idx, t, 10, m).collect()]
         assert got == exp, (t, m)
+
+
+def test_ingest_ids_partition_invariant(spark, tmp_path):
+    """r3: batch ids come from the two-level hash-split scheme (no
+    single-task global window) — the assigned ids must be dense and
+    IDENTICAL regardless of how the incoming micro-batch is partitioned,
+    and the id window must run multi-partition."""
+    from datastream_io_spark.corpus import corpus_df
+    from datastream_io_spark.streaming import incremental as INC
+
+    corpus = corpus_df(spark, 120, n_partitions=2)
+    ids = {}
+    for name, df in [("p1", corpus.coalesce(1)),
+                     ("p7", corpus.repartition(7))]:
+        idx = str(tmp_path / f"ing_{name}")
+        INC._WATERMARK_CACHE.pop(__import__("os").path.abspath(idx), None)
+        ingest_batch(spark, df, 0, idx, tokenizer="code")
+        staged = spark.read.parquet(f"{idx}/docs_staged/batch_0000")
+        ids[name] = {(r.repo, r.path, r.commit): r.doc_id
+                     for r in staged.collect()}
+        vals = sorted(ids[name].values())
+        assert vals == list(range(120))  # dense from the batch offset
+    assert ids["p1"] == ids["p7"]
