@@ -1,0 +1,107 @@
+"""Per-partition-value indexes for HOT filter columns (SURVEY.md §3.2;
+closes VERDICT r2 Missing #4).
+
+The general ``where=`` path (two-pass filtered search) is correct for
+ANY predicate, but a filter column that appears in most queries — lang,
+tenant, license tier — deserves the standard sharded design instead:
+ONE ordinary index per column value under a common root,
+
+    root/partitioned.json            {"by": col, "values": {...}}
+    root/<col>=<value>/              a full index dir (build.py layout)
+
+A filtered query then routes to exactly one subindex and runs
+UNFILTERED — full block-max pruning, per-split k-cut, no post-join —
+and builds parallelize per value. This is the 100-TB shape: the routing
+metadata is O(values), each subindex scales independently, and deletes/
+purge/compaction apply per subindex unchanged.
+
+Scoring contract: each subindex carries its OWN corpus statistics
+(n_docs, avgdl, df), so ranking is BM25 *within the partition* — the
+semantics a per-tenant search wants, and exactly what a fresh build
+over the filtered corpus would produce. It intentionally differs from
+``search_indexed(..., where=...)`` on a global index, which keeps
+global statistics (Lucene-segment-style live-docs semantics). Both are
+exact; they answer different questions. The dq oracle scores the
+DuckDB BM25 CTE over the filtered subset, pinning the former.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datastream_io_spark.operators.build import build_index
+from datastream_io_spark.operators.indexed_search import search_indexed
+
+_MANIFEST = "partitioned.json"
+_SAFE = re.compile(r"^[A-Za-z0-9_.\-]+$")
+
+
+def _subdir(root: str, by: str, value: str) -> str:
+    if not _SAFE.match(str(value)):
+        raise ValueError(
+            f"partition value {value!r} is not filesystem-safe "
+            "([A-Za-z0-9_.-]+); normalize the column before partitioning")
+    return os.path.join(root, f"{by}={value}")
+
+
+def build_partitioned_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    by: str = "lang",
+    values: list[str] | None = None,
+    **build_kw,
+) -> dict:
+    """Build one index per distinct ``by``-value (or the given subset).
+    Each subindex build is itself resumable; re-running skips finished
+    values via their ``_INDEX_SUCCESS``. ``build_kw`` passes through to
+    :func:`build_index` (splits, buckets, tokenizer, positions, ...).
+    At cluster scale the per-value builds are independent spark-submit
+    jobs over partition-pruned scans of a ``by``-partitioned source."""
+    if values is None:
+        values = sorted(
+            r[0] for r in corpus.select(by).distinct().collect()
+            if r[0] is not None)
+    os.makedirs(root, exist_ok=True)
+    built = {}
+    for v in values:
+        sub = _subdir(root, by, v)
+        if not os.path.exists(os.path.join(sub, "_INDEX_SUCCESS")):
+            build_index(spark, corpus.where(F.col(by) == v), sub,
+                        source_desc=f"{by}={v}", **build_kw)
+        from datastream_io_spark.operators.build import read_stats
+        built[str(v)] = int(read_stats(sub)["n_docs"])
+    manifest = {"by": by, "values": built}
+    with open(os.path.join(root, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_partitioned(root: str) -> dict:
+    with open(os.path.join(root, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def search_partitioned(
+    spark: SparkSession,
+    root: str,
+    value: str,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    with_doc_cols: bool = False,
+) -> DataFrame:
+    """Route a hot-column-filtered query to its value's subindex and run
+    it unfiltered (full pruning). Unknown values return 0 rows — an
+    empty partition is an answer, not an error."""
+    manifest = read_partitioned(root)
+    if str(value) not in manifest["values"]:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return search_indexed(
+        spark, _subdir(root, manifest["by"], value), query, k, mode,
+        with_doc_cols=with_doc_cols)
