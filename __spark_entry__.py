@@ -8,7 +8,6 @@ SURVEY.md §2, implemented in ``datastream_io_spark.driver_queries``.
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,9 +21,11 @@ def entry(spark: SparkSession) -> DataFrame:
     from datastream_io_spark.operators.indexed_search import search_indexed
     from datastream_io_spark.sources.scan import documents_as_corpus
 
+    from datastream_io_spark.driver_queries import _dq_tmpdir
+
     sf_dir = "/root/testdata/sf0.001"
     corpus = documents_as_corpus(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="entry_index_")
+    idx = _dq_tmpdir("entry_index_")
     build_index(spark, corpus, idx, n_splits=2, n_buckets=8,
                 tokenizer="simple", salt_threshold=100, n_salts=4,
                 source_desc=f"{sf_dir}/documents.parquet")
