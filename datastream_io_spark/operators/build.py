@@ -123,15 +123,29 @@ class maintenance_lock:
         self.fd = None
 
     def __enter__(self):
-        try:
-            self.fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            with open(self.path) as f:
-                holder = f.read().strip()
+        # two attempts: the holder can release (unlink) between our
+        # failed O_EXCL and the diagnostic read — retry once instead of
+        # surfacing a raw FileNotFoundError from the read
+        for attempt in (0, 1):
+            try:
+                self.fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        holder = f.read().strip()
+                except FileNotFoundError:
+                    continue  # released mid-check; retry the acquire
+                raise RuntimeError(
+                    f"index maintenance lock is held ({holder}) — another "
+                    f"delete/purge/compact is running on this index; if it "
+                    f"crashed, remove {self.path} and re-run") from None
+        else:
             raise RuntimeError(
-                f"index maintenance lock is held ({holder}) — another "
-                f"delete/purge/compact is running on this index; if it "
-                f"crashed, remove {self.path} and re-run") from None
+                f"could not acquire maintenance lock {self.path} — "
+                "another delete/purge/compact keeps winning the race; "
+                "re-run") from None
         os.write(self.fd, f"{self.op} pid={os.getpid()}".encode())
         return self
 

@@ -830,14 +830,30 @@ def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Read-only tombstone lookup for the QUERY path: takes no lock and
     repairs nothing. If a maintenance swap is mid-flight (dir renamed
     aside but not yet back), fall back to the ``_old`` aside — the
-    consistent pre-swap state."""
+    consistent pre-swap state.
+
+    A reader can observe NEITHER directory for the instant between
+    swap_in's two renames (or catch the aside mid-rmtree). stats.json
+    tells the two apart cheaply: ``n_tombstones`` absent/0 means there
+    were never deletes — return None with zero extra I/O (the common
+    case) — while >0 with both dirs missing means a swap is mid-flight,
+    so retry briefly before concluding the set was purged."""
     tomb_dir = os.path.join(index_dir, "tombstones")
-    if not os.path.exists(tomb_dir):
-        aside = tomb_dir + "_old"
+    aside = tomb_dir + "_old"
+    expect = int(read_stats(index_dir).get("n_tombstones", 0) or 0)
+    retries = 20 if expect > 0 else 0
+    for _ in range(retries + 1):
+        if os.path.exists(tomb_dir):
+            return spark.read.parquet(tomb_dir).select("doc_id")
         if os.path.exists(aside):
-            return spark.read.parquet(aside).select("doc_id")
-        return None
-    return spark.read.parquet(tomb_dir).select("doc_id")
+            try:
+                return spark.read.parquet(aside).select("doc_id")
+            except Exception:
+                continue  # rmtree won the race; the swap is completing
+        if retries:
+            import time
+            time.sleep(0.01)
+    return None
 
 
 def _tombstones_broadcast(spark: SparkSession, index_dir: str):

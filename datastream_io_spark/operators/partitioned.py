@@ -101,7 +101,12 @@ def search_partitioned(
     empty partition is an answer, not an error."""
     manifest = read_partitioned(root)
     if str(value) not in manifest["values"]:
-        return spark.createDataFrame([], "doc_id long, score double")
+        # same schema as the hit case, so callers can select doc cols
+        # without branching on emptiness
+        schema = ("doc_id long, repo string, path string, commit string, "
+                  "lang string, score double") if with_doc_cols else \
+                 "doc_id long, score double"
+        return spark.createDataFrame([], schema)
     return search_indexed(
         spark, _subdir(root, manifest["by"], value), query, k, mode,
         with_doc_cols=with_doc_cols)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from datastream_io_spark import B, K1
 from datastream_io_spark.operators import postings as P
-from datastream_io_spark.operators.build import SEGMENT_SCHEMA
+from datastream_io_spark.operators.build import SEGMENT_SCHEMA, check_not_purged
 from datastream_io_spark.sources import manifest as M
 
 
@@ -63,6 +63,9 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     answers phrase queries — same opt-in as the batch builder."""
     if M.read_split_manifest(index_dir, batch_id) is not None:
         return
+    # a purged streaming index must not be re-fed: finalize rebuilds
+    # docs/postings wholesale from *_staged, which still hold purged docs
+    check_not_purged(index_dir, "streaming ingest")
     os.makedirs(index_dir, exist_ok=True)
     offset = _next_doc_id(index_dir)
 
@@ -73,9 +76,11 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     # part counts, row_number inside each part. A global
     # Window.orderBy(...) with no partitionBy funneled every micro-batch
     # through ONE task (VERDICT r2 what's-wrong #5); this fans out to P
-    # tasks while staying deterministic for any input partitioning —
-    # ids depend only on the doc keys, not arrival layout.
-    n_parts = max(4, spark.sparkContext.defaultParallelism)
+    # tasks while staying deterministic for any input partitioning.
+    # P is a CONSTANT, not defaultParallelism: ids must depend only on
+    # the doc keys, and a crash-redelivery on a resized cluster would
+    # otherwise hash the same docs into different parts.
+    n_parts = 64
     part_col = F.pmod(
         F.xxhash64("repo", "path", "commit"), F.lit(n_parts)).cast("int")
     with_part = batch_df.withColumn("_part", part_col)
@@ -129,6 +134,11 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
                           n_salts: int = 8) -> dict:
     """Compact staged batches into the standard searchable index layout
     (docs/, stats.json, postings/term_bucket=K/, dict/)."""
+    # same resurrection hazard as the batch builder's finalize: this
+    # rewrites docs/ and postings/ wholesale from *_staged, which a
+    # purge leaves stale (purged docs still present)
+    check_not_purged(index_dir, "stream finalize")
+
     def _batch_dirs(sub: str) -> list[str]:
         root = os.path.join(index_dir, sub)
         # explicit dir list, not a glob — glob paths trigger a spurious

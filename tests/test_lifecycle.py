@@ -98,3 +98,14 @@ def test_stream_compact_delete_purge_lifecycle(spark, tmp_path):
     import os
     assert not os.path.exists(f"{idx}/tombstones")
     _check_all_modes(spark, idx, surv.reset_index(drop=True))
+
+    # 4. a purged STREAMING index must refuse re-feed/re-finalize: the
+    # *_staged batches still hold the purged docs, so either call would
+    # silently resurrect them (review r3 finding #1)
+    with pytest.raises(ValueError, match="purged"):
+        finalize_stream_index(spark, idx, n_buckets=8, tokenizer="code")
+    with pytest.raises(ValueError, match="purged"):
+        ingest_batch(spark, spark.createDataFrame(
+            [("r", "p", "c", "py", "x y z")],
+            "repo string, path string, commit string, lang string, "
+            "content string"), 99, idx, tokenizer="code")
