@@ -99,6 +99,30 @@ def tokenize_code_udf(s: pd.Series) -> pd.Series:
     return idents.map(expand)
 
 
+def tokenize_series(s: pd.Series, mode: str) -> pd.Series:
+    """Vectorized tokenize of a pandas Series — the SAME chain the UDFs
+    run, factored out so the fused build kernel
+    (:func:`~datastream_io_spark.operators.postings.term_stats_fused`)
+    cannot drift from the per-doc UDF path. Nulls tokenize to []."""
+    if mode == "simple":
+        out = s.str.lower().str.findall(_SIMPLE_RE)
+    elif mode == "code":
+        idents = s.str.findall(_IDENT_RE)
+
+        def expand(lst):
+            if not isinstance(lst, list):
+                return []  # null content
+            toks: list[str] = []
+            for ident in lst:
+                toks.extend(_expand_ident(ident))
+            return toks
+
+        return idents.map(expand)
+    else:
+        raise ValueError(f"unknown tokenizer mode: {mode}")
+    return out.map(lambda v: v if isinstance(v, list) else [])
+
+
 def tokenizer_for(mode: str):
     """(pure_fn, udf) pair for a tokenizer mode."""
     if mode == "simple":

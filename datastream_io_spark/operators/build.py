@@ -425,30 +425,19 @@ def build_segment(
     # (measured: local[8] == local[32] wall time at 500k files). Fan the
     # rows out across the executor slots before the expensive UDF.
     fan = max(4, spark.sparkContext.defaultParallelism)
-    tok = P.with_tokens(
-        split_rows.select("doc_id", "content").repartition(fan),
-        "content", mode=tokenizer, use_udf=True,
-    ).select("doc_id", "tokens")
     with_positions = bool(info.get("positions", False))
+    # fused tokenize+tf kernel: tokenizes AND aggregates (tf, dl,
+    # positions) inside the Arrow batch, so no explode→groupBy shuffle —
+    # the only shuffle left is the (term, salt) repartition the encoder
+    # needs anyway. Pinned row-identical to the operator chain
+    # (term_freq(_positional)∘doc_terms∘with_tokens) by test_build.
     # persisted: three downstream actions (hot-set broadcast build, the
     # segment write, the dl side-table write) would otherwise each
-    # replay the tokenize UDF — measured as 3× the split job's cost
-    if with_positions:
-        exploded = tok.select(
-            "doc_id",
-            F.size("tokens").cast("long").alias("dl"),
-            F.posexplode("tokens").alias("pos", "term"),
-        )
-        tf = P.term_freq_positional(
-            exploded, extra_aggs=(F.first("dl").alias("dl"),)).persist()
-    else:
-        exploded = tok.select(
-            "doc_id",
-            F.size("tokens").cast("long").alias("dl"),
-            F.explode("tokens").alias("term"),
-        )
-        tf = exploded.groupBy("doc_id", "term").agg(
-            F.count("*").alias("tf"), F.first("dl").alias("dl")).persist()
+    # replay the tokenize kernel — measured as 3× the split job's cost
+    tf = P.term_stats_fused(
+        split_rows.select("doc_id", "content").repartition(fan),
+        tokenizer, with_positions,
+    ).persist()
     try:
         # C4 — in-split hot terms get range-salted over the split's
         # contiguous doc range so encode groups cap at ~count/n_salts docs

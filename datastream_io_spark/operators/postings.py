@@ -61,6 +61,71 @@ def term_freq_positional(pos_terms_df: DataFrame, doc_col: str = "doc_id",
         F.sort_array(F.collect_list("pos")).alias("positions"))
 
 
+def term_stats_fused(df: DataFrame, mode: str, positions: bool,
+                     doc_col: str = "doc_id") -> DataFrame:
+    """T1+T2+T3(+T4) fused into ONE mapInPandas kernel:
+    (doc_id, content) → (doc_id, term, tf, dl[, positions]) with NO
+    shuffle. Row-for-row identical to
+    ``term_freq(_positional)(doc_terms(with_tokens(df, mode)))`` —
+    pinned by tests/test_build.py — but where that chain shuffles every
+    partially-aggregated (doc, term) row once for the groupBy (plus
+    runs collect_list through partial/final merge), this kernel
+    aggregates inside the Arrow batch with numpy (factorize + lexsort +
+    change-point reduce; no per-token Python), so the only shuffle left
+    in a segment build is the (term, salt) repartition the encoder
+    needs anyway. At 10^12 files that deletes the largest shuffle of
+    the build (BASELINE.json north_star: vectorized Arrow/pandas UDFs,
+    partitioning/shuffle handled explicitly)."""
+    import numpy as np
+
+    from datastream_io_spark.functions.tokenize import tokenize_series
+
+    out_schema = f"{doc_col} long, term string, tf long, dl long" + (
+        ", positions array<int>" if positions else "")
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            toks = tokenize_series(pdf["content"], mode)
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            doc_ids = pdf[doc_col].to_numpy(np.int64)
+            flat = np.empty(total, dtype=object)
+            k = 0
+            for t in toks:
+                n = len(t)
+                flat[k:k + n] = t
+                k += n
+            doc_idx = np.repeat(np.arange(len(toks)), lens)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = (np.arange(total) - np.repeat(offs, lens)).astype(np.int32)
+            codes, uniques = pd.factorize(flat)
+            order = np.lexsort((pos, codes, doc_idx))
+            d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+            change = np.flatnonzero(
+                (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [total]))
+            out = {
+                doc_col: doc_ids[d_s[starts]],
+                "term": uniques.take(c_s[starts]),
+                "tf": (ends - starts).astype(np.int64),
+                "dl": lens[d_s[starts]],
+            }
+            if positions:
+                out["positions"] = np.split(p_s, change)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def doc_len(tok_df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     """T4 — tokens per doc, computed from the array (no extra shuffle)."""
     return tok_df.select(doc_col, F.size("tokens").cast("long").alias("dl"))

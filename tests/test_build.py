@@ -207,3 +207,41 @@ def test_stage_resume_rejects_changed_settings(spark, tmp_path):
         stage_corpus(spark, df, idx, 2, 4, "simple", positions=True)
     with pytest.raises(ValueError, match="staged with"):
         stage_corpus(spark, df, idx, 4, 4, "simple", positions=False)
+
+
+def test_term_stats_fused_equals_operator_chain(spark):
+    """The fused tokenize+tf kernel (term_stats_fused) must be
+    row-identical to the declarative chain it replaced in the segment
+    builder — every mode × positions combination."""
+    from datastream_io_spark.corpus import corpus_df
+
+    corpus = corpus_df(spark, 120).limit(120)
+    base = P.assign_doc_ids(corpus, ["repo", "path", "commit"]).select(
+        "doc_id", "content")
+
+    for mode in ("simple", "code"):
+        for positions in (False, True):
+            fused = P.term_stats_fused(base, mode, positions)
+            tok = P.with_tokens(base, "content", mode=mode, use_udf=True)
+            if positions:
+                exploded = tok.select(
+                    "doc_id",
+                    F.size("tokens").cast("long").alias("dl"),
+                    F.posexplode("tokens").alias("pos", "term"))
+                chain = P.term_freq_positional(
+                    exploded, extra_aggs=(F.first("dl").alias("dl"),))
+                cols = ["doc_id", "term", "tf", "dl", "positions"]
+            else:
+                exploded = tok.select(
+                    "doc_id",
+                    F.size("tokens").cast("long").alias("dl"),
+                    F.explode("tokens").alias("term"))
+                chain = exploded.groupBy("doc_id", "term").agg(
+                    F.count("*").alias("tf"), F.first("dl").alias("dl"))
+                cols = ["doc_id", "term", "tf", "dl"]
+
+            got = fused.select(*cols).orderBy("doc_id", "term").collect()
+            exp = chain.select(*cols).orderBy("doc_id", "term").collect()
+            assert len(got) == len(exp) > 0, (mode, positions)
+            for g, e in zip(got, exp):
+                assert tuple(g) == tuple(e), (mode, positions, g, e)
