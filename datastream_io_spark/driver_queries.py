@@ -394,6 +394,50 @@ o_suggest_terms = (
 )
 
 
+def q_wildcard_search(spark, sf_dir):
+    """Q17 — prefix wildcard: ``s*`` expands (dict StartsWith scan) to
+    the index terms starting with 's', ranked by the OR-mode BM25 sum
+    over the expansions. The oracle scores every fixture term LIKE 's%'
+    — identical semantics while the expansion cap isn't hit."""
+    from datastream_io_spark.operators.indexed_search import search_wildcard
+
+    topk = search_wildcard(spark, _pos_index(spark, sf_dir), "s*", k=10,
+                           with_doc_cols=True)
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# the IN (...) hole takes a subquery: every tokenized-fixture term with
+# the prefix — the uncapped equivalent of the dict expansion
+o_wildcard_search = (
+    BM25_CTE.format(terms="SELECT term FROM dfq WHERE term LIKE 's%'")
+    + "SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id "
+    "ORDER BY sum(s) DESC, doc_id LIMIT 10"
+)
+
+
+def q_facet_counts(spark, sf_dir):
+    """Q18 — facet counts over the FULL match set of 'window agg' (AND):
+    docs per lang, the sidebar counts next to search results. Exercises
+    the emit-everything kernel + docs equi-join + count aggregation."""
+    from datastream_io_spark.operators.indexed_search import facet_counts
+
+    return facet_counts(spark, _pos_index(spark, sf_dir), "window agg",
+                        "lang", mode="and")
+
+
+o_facet_counts = (
+    f"WITH tok AS ({TOK_SQL}), "
+    "m AS (SELECT doc_id FROM tok WHERE term IN ('window', 'agg') "
+    "      GROUP BY doc_id HAVING count(DISTINCT term) = 2) "
+    "SELECT d.lang, count(*) AS n_docs FROM m "
+    "JOIN documents d USING (doc_id) "
+    "GROUP BY d.lang ORDER BY n_docs DESC, d.lang"
+)
+
+
 def q_search_many(spark, sf_dir):
     """Q13 — batched serving: two AND queries answered in ONE Spark job
     (shared postings scan + per-split decode cache); each query's rows
@@ -832,7 +876,12 @@ SELECT o_custkey, o_orderkey, rn FROM (
 """
 
 
-def q_window_lag_interarrival(spark, sf_dir):
+def q_window_lag_rolling(spark, sf_dir):
+    """W2 + W3 in one entry (consolidated r3 to fit the driver's 50-row
+    window): lag interarrival gap AND a 100-row rolling sum over the
+    same per-user (ts, event_id) window spec — ONE window exchange in
+    the plan serves both (decimal inside the frame → order-independent
+    exact result)."""
     _utc(spark)
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -840,47 +889,25 @@ def q_window_lag_interarrival(spark, sf_dir):
         "event_id",
         (F.unix_micros(F.col("ts").cast("timestamp"))
          - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))).alias("gap_us"),
-    )
-
-
-o_window_lag_interarrival = """
-SELECT event_id,
-       epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
-                                                ORDER BY ts, event_id)) AS gap_us
-FROM events
-"""
-
-
-def q_window_rolling_sum(spark, sf_dir):
-    """W3 — frame spec: running sum of the last 100 events per user
-    (decimal inside the frame → order-independent exact result)."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-99, 0)
-    )
-    return e.select(
-        "event_id",
-        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w.rowsBetween(-99, 0))
         .cast("double").alias("rolling_value"),
     )
 
 
-o_window_rolling_sum = """
+o_window_lag_rolling = """
 SELECT event_id,
+       epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)) AS gap_us,
        CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value
 FROM events
 """
 
-
-def q_distinct_segments(spark, sf_dir):
-    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
-
-
-o_distinct_segments = "SELECT DISTINCT c_mktsegment FROM customer"
+# W8 distinct/dropDuplicates stays covered by set_ops_brands (three
+# .distinct() inputs) and dedup_exact; the standalone distinct_segments
+# entry was retired r3 to keep every oracle inside the 50-row window.
 
 
 def q_set_ops_brands(spark, sf_dir):
@@ -1383,6 +1410,8 @@ QUERIES = {
     "partitioned_search": q_partitioned_search,
     "search_many": q_search_many,
     "suggest_terms": q_suggest_terms,
+    "wildcard_search": q_wildcard_search,
+    "facet_counts": q_facet_counts,
     "delete_search": q_delete_search,
     "content_sha256": q_content_sha256,
     "doc_id_assign": q_doc_id_assign,
@@ -1398,9 +1427,7 @@ QUERIES = {
     "asof_latest_order": q_asof_latest_order,
     "range_join_event_pairs": q_range_join_event_pairs,
     "window_rank_top_orders": q_window_rank_top_orders,
-    "window_lag_interarrival": q_window_lag_interarrival,
-    "window_rolling_sum": q_window_rolling_sum,
-    "distinct_segments": q_distinct_segments,
+    "window_lag_rolling": q_window_lag_rolling,
     "set_ops_brands": q_set_ops_brands,
     "cross_join_small": q_cross_join_small,
     "global_sort_suppliers": q_global_sort_suppliers,
@@ -1444,6 +1471,8 @@ ORACLES = {
     "partitioned_search": o_partitioned_search,
     "search_many": o_search_many,
     "suggest_terms": o_suggest_terms,
+    "wildcard_search": o_wildcard_search,
+    "facet_counts": o_facet_counts,
     "delete_search": o_delete_search,
     "content_sha256": o_content_sha256,
     "doc_id_assign": o_doc_id_assign,
@@ -1458,9 +1487,7 @@ ORACLES = {
     "asof_latest_order": o_asof_latest_order,
     "range_join_event_pairs": o_range_join_event_pairs,
     "window_rank_top_orders": o_window_rank_top_orders,
-    "window_lag_interarrival": o_window_lag_interarrival,
-    "window_rolling_sum": o_window_rolling_sum,
-    "distinct_segments": o_distinct_segments,
+    "window_lag_rolling": o_window_lag_rolling,
     "set_ops_brands": o_set_ops_brands,
     "cross_join_small": o_cross_join_small,
     "global_sort_suppliers": o_global_sort_suppliers,

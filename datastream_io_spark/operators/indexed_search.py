@@ -896,6 +896,90 @@ def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
     )
 
 
+def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
+                    k: int = 10, max_expansions: int = 128,
+                    with_doc_cols: bool = False) -> DataFrame:
+    """Q17 — prefix wildcard search (``pref*``): expand the prefix to
+    the index terms that start with it, then rank with the normal
+    OR-mode BM25 kernel over the expanded set (the classic multi-term
+    rewrite: a doc's score is the sum of its matching expansions'
+    BM25 contributions, MaxScore pruning included for free).
+
+    Expansion is ONE dict/ scan with a StartsWith predicate pushed into
+    parquet (term-sorted row groups skip via min/max stats — the
+    suggest_terms trick), capped at the ``max_expansions`` highest-df
+    terms (df desc, term asc — deterministic). A hit of the cap is the
+    documented approximation at 10^12-file scale: the dropped
+    expansions are the rarest, i.e. the smallest score mass."""
+    prefix = prefix.lower().rstrip("*")
+    if not prefix:
+        return spark.createDataFrame([], "doc_id long, score double")
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    d = spark.read.parquet(os.path.join(index_dir, "dict"))
+    rows = (d.where(F.col("term").startswith(prefix))
+            .select("term", "df", "idf", "term_bucket")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions).collect())
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf = {r["term"]: float(r["idf"]) for r in rows}
+    buckets = sorted({int(r["term_bucket"]) for r in rows})
+    return _wand_topk(spark, index_dir, idf, buckets,
+                      float(stats["avgdl"]), len(idf), k, "or",
+                      with_doc_cols)
+
+
+def facet_counts(spark: SparkSession, index_dir: str, query: str,
+                 facet_col: str = "lang", mode: str = "and",
+                 where=None) -> DataFrame:
+    """Q18 — facet counts: for every value of a docs column, how many
+    docs match the query (the sidebar counts next to search results).
+    Facets are by definition over the FULL match set, so the kernel
+    runs with ``k=None`` (emit every matching doc — no k-cut, no θ;
+    same exact-enumeration kernel as filtered search's fallback pass),
+    then one equi-join against docs on its primary key and one
+    partial+final count aggregation on the facet value. Tombstoned
+    docs are dropped inside the kernel like every other mode.
+
+    ``where`` optionally restricts the counted docs (facets of a
+    filtered result page)."""
+    if mode not in ("and", "or", "phrase"):
+        raise ValueError(
+            f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    empty = spark.createDataFrame(
+        [], f"{facet_col} string, n_docs long")
+    mode, terms, phrase = _plan_terms(query, mode, stats)
+    if not terms:
+        return empty
+    dict_rows = lookup_terms(spark, index_dir, terms,
+                             int(stats["n_buckets"]))
+    if (mode in ("and", "phrase") and len(dict_rows) < len(terms)) \
+            or not dict_rows:
+        return empty
+    idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+    prows = postings_rows(spark, index_dir, buckets, sorted(idf))
+    tomb = _tombstones_broadcast(spark, index_dir)
+    avgdl, n_terms = float(stats["avgdl"]), len(terms)
+
+    def kernel_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _wand_split(pdf, idf, avgdl, None, mode, n_terms, phrase,
+                           tomb=tomb)
+
+    cand = prows.groupBy("split_id").applyInPandas(
+        kernel_all, "doc_id long, score double").select("doc_id")
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    if where is not None:
+        docs = docs.where(where)
+    return (cand.join(docs.select("doc_id", facet_col), "doc_id")
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
 def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str],
                  n_buckets: int | None = None) -> list:
     """Q2 — dict rows for query terms. The bucket of each term is

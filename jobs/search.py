@@ -17,10 +17,15 @@ def main(argv: list[str]) -> int:
     p.add_argument("--query", required=True)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--mode", default="and",
-                   choices=["and", "or", "phrase", "boolean"],
+                   choices=["and", "or", "phrase", "boolean", "wildcard"],
                    help="phrase (and quoted phrases in boolean) need an "
                         "index built with positions=True; boolean parses "
-                        'AND/OR/NOT, parentheses, and "quoted phrases"')
+                        'AND/OR/NOT, parentheses, and "quoted phrases"; '
+                        "wildcard treats the query as a term prefix "
+                        "(trailing * optional)")
+    p.add_argument("--facet", default=None, metavar="COL",
+                   help="instead of top-k rows, print per-COL counts of "
+                        "ALL docs matching the query (and/or/phrase)")
     p.add_argument("--relational", action="store_true",
                    help="also run the index-free relational path (self-oracle)")
     args = p.parse_args(argv)
@@ -28,13 +33,28 @@ def main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
 
     from datastream_io_spark.operators.boolean_search import search_boolean
-    from datastream_io_spark.operators.indexed_search import search_indexed
+    from datastream_io_spark.operators.indexed_search import (
+        facet_counts, search_indexed, search_wildcard)
 
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
+    if args.facet is not None:
+        if args.mode in ("boolean", "wildcard"):
+            p.error("--facet supports modes and/or/phrase")
+        rows = facet_counts(spark, args.index, args.query, args.facet,
+                            args.mode).collect()
+        dt = time.time() - t0
+        for r in rows:
+            print(f"{r['n_docs']:10d}  {args.facet}={r[args.facet]}")
+        print(f"-- {len(rows)} facet values in {dt * 1000:.0f} ms "
+              f"(mode={args.mode})")
+        return 0
     if args.mode == "boolean":
         result = search_boolean(spark, args.index, args.query, args.k,
                                 with_doc_cols=True)
+    elif args.mode == "wildcard":
+        result = search_wildcard(spark, args.index, args.query, args.k,
+                                 with_doc_cols=True)
     else:
         result = search_indexed(spark, args.index, args.query, args.k,
                                 args.mode, with_doc_cols=True)

@@ -365,3 +365,88 @@ def test_partitioned_index_routing(spark, tmp_path):
     with pytest.raises(ValueError, match="filesystem-safe"):
         build_partitioned_index(spark, corpus, root, by="lang",
                                 values=["../evil"])
+
+
+def test_wildcard_matches_bruteforce_or(spark, doc_index, doc_ctx):
+    """Q17: prefix expansion + OR scoring ≡ brute-force OR over every
+    corpus term with the prefix."""
+    from datastream_io_spark.functions.tokenize import tokenize_simple
+    from datastream_io_spark.operators.indexed_search import search_wildcard
+
+    _, pdf = doc_ctx
+    vocab = sorted({t for txt in pdf["text"] for t in tokenize_simple(txt)})
+    for prefix in ("s", "w", "gr", "val"):
+        expanded = [t for t in vocab if t.startswith(prefix)]
+        assert expanded, prefix
+        expected = brute_force_topk(pdf, " ".join(expanded), K, "or",
+                                    tokenizer="simple")
+        _check(search_wildcard(spark, doc_index, prefix + "*", K).collect(),
+               expected)
+    assert search_wildcard(spark, doc_index, "zzzz*", K).count() == 0
+
+
+def test_wildcard_expansion_cap(spark, doc_index, doc_ctx):
+    """max_expansions keeps the highest-df terms (df desc, term asc)."""
+    from datastream_io_spark.operators.indexed_search import search_wildcard
+
+    _, pdf = doc_ctx
+    d = spark.read.parquet(os.path.join(doc_index, "dict")).toPandas()
+    top2 = list(
+        d[d["term"].str.startswith("s")]
+        .sort_values(["df", "term"], ascending=[False, True])["term"][:2])
+    assert len(top2) == 2
+    expected = brute_force_topk(pdf, " ".join(top2), K, "or",
+                                tokenizer="simple")
+    _check(
+        search_wildcard(spark, doc_index, "s*", K, max_expansions=2).collect(),
+        expected)
+
+
+def test_facet_counts_match_pandas(spark, doc_index, doc_ctx):
+    """Q18: facet counts over the full match set ≡ pandas recount; the
+    where= variant restricts the counted docs."""
+    from datastream_io_spark.functions.tokenize import tokenize_simple
+    from datastream_io_spark.operators.indexed_search import facet_counts
+
+    _, pdf = doc_ctx
+    langs = (spark.read.parquet(os.path.join(doc_index, "docs"))
+             .select("doc_id", "lang").toPandas())
+    pdf = pdf.merge(langs, on="doc_id")
+    toks = pdf["text"].map(lambda t: set(tokenize_simple(t)))
+    for mode, pred in (
+        ("and", lambda s: {"window", "agg"} <= s),
+        ("or", lambda s: bool({"window", "agg"} & s)),
+    ):
+        match = pdf[toks.map(pred).values]
+        exp = (match.groupby("lang").size().sort_values(ascending=False))
+        got = {r["lang"]: r["n_docs"] for r in facet_counts(
+            spark, doc_index, "window agg", "lang", mode=mode).collect()}
+        assert got == exp.to_dict(), mode
+
+    wexp = (pdf[toks.map(lambda s: {"window", "agg"} <= s).values]
+            .query("lang != 'en'").groupby("lang").size().to_dict())
+    wgot = {r["lang"]: r["n_docs"] for r in facet_counts(
+        spark, doc_index, "window agg", "lang", mode="and",
+        where="lang <> 'en'").collect()}
+    assert wgot == wexp
+    assert facet_counts(spark, doc_index, "nosuchterm", "lang").count() == 0
+
+
+def test_facet_counts_respect_tombstones(spark, tmp_path):
+    """Deleted docs must vanish from facet counts (kernel-level drop)."""
+    from datastream_io_spark.operators.build import build_index
+    from datastream_io_spark.operators.indexed_search import (
+        delete_docs, facet_counts)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    idx = str(tmp_path / "facet_del_idx")
+    build_index(spark, corpus, idx, n_splits=2, n_buckets=8,
+                tokenizer="simple", salt_threshold=50, n_salts=4)
+    before = {r["lang"]: r["n_docs"] for r in facet_counts(
+        spark, idx, "window", "lang", mode="or").collect()}
+    assert "de" in before
+    delete_docs(spark, idx, where="lang = 'de'", max_frac=None)
+    after = {r["lang"]: r["n_docs"] for r in facet_counts(
+        spark, idx, "window", "lang", mode="or").collect()}
+    assert "de" not in after
+    assert {k: v for k, v in before.items() if k != "de"} == after
