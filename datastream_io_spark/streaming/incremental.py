@@ -100,30 +100,33 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
         "doc_id",
         F.lit(offset) + off_col + F.row_number().over(w).cast("long") - 1,
     ).drop("_part")
-    tok = P.with_tokens(with_ids, "content", mode=tokenizer, use_udf=True)
-    docs = tok.select(
-        "doc_id", "repo", "path", "commit", "lang",
-        F.size("tokens").cast("long").alias("dl"),
-        F.sha2("content", 256).alias("content_sha256"),
-        F.lit(batch_id).cast("int").alias("split_id"),
-    )
-    docs.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "docs_staged", f"batch_{batch_id:04d}"))
-
-    if positions:
-        tf = P.term_freq_positional(P.doc_pos_terms(tok))
-    else:
-        tf = P.term_freq(P.doc_terms(tok))
-    staged = tf.join(docs.select("doc_id", "dl"), "doc_id")
-    staged.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "tf_staged", f"batch_{batch_id:04d}"))
-
-    n_docs = docs.count()
+    # same fused tokenize+tf kernel as the batch segment builder (one
+    # tokenize per batch, no explode→groupBy shuffle); tf rows already
+    # carry dl, so tf_staged needs no join. Persisted: both staged
+    # writes consume it.
+    tf = P.term_stats_fused(with_ids.select("doc_id", "content"),
+                            tokenizer, positions).persist()
+    try:
+        dldf = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        docs = with_ids.join(dldf, "doc_id", "left").select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+            F.sha2("content", 256).alias("content_sha256"),
+            F.lit(batch_id).cast("int").alias("split_id"),
+        )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "docs_staged", f"batch_{batch_id:04d}"))
+        tf.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "tf_staged", f"batch_{batch_id:04d}"))
+        n_docs = docs.count()
+        n_postings = tf.count()
+    finally:
+        tf.unpersist(blocking=False)
     M.write_split_manifest(index_dir, batch_id, {
         "n_docs": int(n_docs),
         "doc_id_offset": offset,
         "kind": "stream_batch",
-        "n_postings": int(tf.count()),
+        "n_postings": int(n_postings),
     })
     _WATERMARK_CACHE[os.path.abspath(index_dir)] = offset + int(n_docs)
 
