@@ -395,7 +395,7 @@ o_suggest_terms = (
 
 
 def q_wildcard_search(spark, sf_dir):
-    """Q17 — prefix wildcard: ``s*`` expands (dict StartsWith scan) to
+    """Q18 — prefix wildcard: ``s*`` expands (dict StartsWith scan) to
     the index terms starting with 's', ranked by the OR-mode BM25 sum
     over the expansions. The oracle scores every fixture term LIKE 's%'
     — identical semantics while the expansion cap isn't hit."""
@@ -419,7 +419,7 @@ o_wildcard_search = (
 
 
 def q_facet_counts(spark, sf_dir):
-    """Q18 — facet counts over the FULL match set of 'window agg' (AND):
+    """Q19 — facet counts over the FULL match set of 'window agg' (AND):
     docs per lang, the sidebar counts next to search results. Exercises
     the emit-everything kernel + docs equi-join + count aggregation."""
     from datastream_io_spark.operators.indexed_search import facet_counts

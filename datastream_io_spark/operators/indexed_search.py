@@ -899,7 +899,7 @@ def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
 def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
                     k: int = 10, max_expansions: int = 128,
                     with_doc_cols: bool = False) -> DataFrame:
-    """Q17 — prefix wildcard search (``pref*``): expand the prefix to
+    """Q18 — prefix wildcard search (``pref*``): expand the prefix to
     the index terms that start with it, then rank with the normal
     OR-mode BM25 kernel over the expanded set (the classic multi-term
     rewrite: a doc's score is the sum of its matching expansions'
@@ -933,7 +933,7 @@ def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
 def facet_counts(spark: SparkSession, index_dir: str, query: str,
                  facet_col: str = "lang", mode: str = "and",
                  where=None) -> DataFrame:
-    """Q18 — facet counts: for every value of a docs column, how many
+    """Q19 — facet counts: for every value of a docs column, how many
     docs match the query (the sidebar counts next to search results).
     Facets are by definition over the FULL match set, so the kernel
     runs with ``k=None`` (emit every matching doc — no k-cut, no θ;
