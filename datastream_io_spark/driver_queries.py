@@ -640,12 +640,23 @@ WHERE term IN ('window', 'agg') AND doc_id IN (SELECT doc_id FROM top10)
 
 
 def q_content_sha256(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.sha2("text", 256).alias("content_sha256")
-    )
+    """P3 + doc_fingerprint in one entry (consolidated r3 to keep every
+    oracle inside the driver's 50-row window): the exact per-row sha256
+    invariant AND the normalized-token-stream md5 fingerprint."""
+    from datastream_io_spark.operators.dataprep import doc_fingerprint
+
+    sha = _docs(spark, sf_dir).select(
+        "doc_id", F.sha2("text", 256).alias("content_sha256"))
+    return sha.join(doc_fingerprint(_docs(spark, sf_dir)), "doc_id")
 
 
-o_content_sha256 = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+o_content_sha256 = """
+SELECT doc_id, sha256(text) AS content_sha256,
+       md5(array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+           t -> t <> ''), ' ')) AS fingerprint
+FROM documents
+"""
 
 
 def q_doc_id_assign(spark, sf_dir):
@@ -1135,18 +1146,63 @@ o_dedup_exact = (
 )
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    from datastream_io_spark.operators.dataprep import doc_fingerprint
-
-    return doc_fingerprint(_docs(spark, sf_dir))
+# doc_fingerprint rides inside the content_sha256 entry since r3 (both
+# hash ops over the same table; frees a 50-row-window slot)
 
 
-o_doc_fingerprint = """
-SELECT doc_id,
-       md5(array_to_string(list_filter(
-           regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
-           t -> t <> ''), ' ')) AS fingerprint
-FROM documents
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: connected components
+    (alternating large-star/small-star) over the exact n-gram-jaccard
+    pair graph at a loose threshold (so the sf0.01 fixture yields
+    size-3 chains — A~B, B~C without A~C — exercising transitivity),
+    then survivor assignment over ALL docs. The oracle recomputes the
+    same pair set in SQL and closes it transitively with a recursive
+    CTE."""
+    from datastream_io_spark.operators.dataprep import (
+        dedup_cluster_assign, ngram_jaccard_pairs)
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.02)
+    return dedup_cluster_assign(docs, pairs)
+
+
+o_dedup_clusters = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id, source AS blk,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS tokens
+  FROM documents
+),
+sh AS (
+  SELECT id, blk, unnest(list_distinct(CASE WHEN len(tokens) >= 3 THEN
+           list_transform(generate_series(1, len(tokens) - 2),
+                          i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])
+         ELSE [] END)) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.shingle = b.shingle
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.id = doc_a JOIN sizes sb ON sb.id = doc_b
+  WHERE i / (sa.sz + sb.sz - i) >= 0.02
+),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       d.doc_id = coalesce(c.component, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -1438,7 +1494,7 @@ QUERIES = {
     "map_funcs": q_map_funcs,
     "array_funcs": q_array_funcs,
     "dedup_exact": q_dedup_exact,
-    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1498,7 +1554,7 @@ ORACLES = {
     "map_funcs": o_map_funcs,
     "array_funcs": o_array_funcs,
     "dedup_exact": o_dedup_exact,
-    "doc_fingerprint": o_doc_fingerprint,
+    "dedup_clusters": o_dedup_clusters,
     "text_quality": o_text_quality,
     "token_count": o_token_count,
     "ngram_jaccard": o_ngram_jaccard,

@@ -632,3 +632,117 @@ def lang_id_heuristic(docs: DataFrame, text_col: str = "text",
         .when(n_accent / n_chars > 0.05, F.lit("latin-ext"))
         .otherwise(F.lit("en-like")).alias("lang_guess"),
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup pairs → dedup clusters (connected components)
+# --------------------------------------------------------------------------
+
+def connected_components(spark, pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Distributed connected components over near-dup pairs — the step
+    between pair generators (minhash_lsh_candidates / simhash /
+    embedding_neardup_pairs / ngram-jaccard) and actual dedup groups:
+    transitivity means A~B, B~C must cluster A with C even though the
+    pair generator never compared them.
+
+    Alternating Large-Star / Small-Star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): every iteration is
+    two shuffle rounds of pure DataFrame groupBy/join — no driver-side
+    graph, no per-node Python — and converges in O(log n) iterations
+    (near-dup graphs, mostly bucket-local quasi-cliques, converge in
+    2-3). Returns (node, component) for every node appearing in
+    ``pairs``, where component = the MINIMUM node id reachable —
+    deterministic, join-back-friendly. Lineage is cut with an eager
+    localCheckpoint per iteration (iterative plans otherwise grow
+    unboundedly); convergence is detected by an (count, hash-sum)
+    checksum of the canonical edge set going stationary, then certified
+    exactly with one except() check.
+    """
+    # canonical undirected edges u > v, self-loops dropped
+    e = (pairs.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .select(F.greatest("a", "b").alias("u"),
+                 F.least("a", "b").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+
+    def _checksum(edges: DataFrame) -> tuple:
+        # decimal(38,0) sum: an int64 sum of xxhash64 values overflows
+        # (and ANSI mode makes that an error, not a wrap)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                       F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        # large-star: over the bidirected view, attach every neighbor
+        # LARGER than u to m(u) = min(Γ(u) ∪ {u})
+        bid = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = bid.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (bid.join(m, "u")
+              .where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("a"), F.col("m").alias("b"))
+              .where(F.col("a") != F.col("b"))
+              .select(F.greatest("a", "b").alias("u"),
+                      F.least("a", "b").alias("v"))
+              .distinct())
+        # small-star: canonical u > Γ(u); attach u and every non-min
+        # neighbor to m(u) = min(Γ(u))
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (ls.join(m2, "u")
+              .select(F.col("v").alias("a"), F.col("m").alias("b"))
+              .unionAll(ls.join(m2, "u").select(
+                  F.col("u").alias("a"), F.col("m").alias("b")))
+              .where(F.col("a") != F.col("b"))
+              .select(F.greatest("a", "b").alias("u"),
+                      F.least("a", "b").alias("v"))
+              .distinct().localCheckpoint(eager=True))
+        cur = _checksum(ss)
+        e = ss
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations")
+
+    # at the fixpoint every edge is (member, root); certify star shape
+    # (backstop against a checksum coincidence): no member is also a
+    # root, and every member has exactly ONE root
+    roots = e.select(F.col("v").alias("u")).distinct()
+    row = (e.join(roots, "u", "left_semi")
+           .agg(F.count("*").alias("bad")).collect()[0])
+    dup = e.groupBy("u").agg(F.count("*").alias("c")).where(
+        F.col("c") > 1).count()
+    if int(row["bad"]) or dup:
+        raise AssertionError("star certification failed")  # unreachable
+    members = e.select(F.col("u").alias("doc_id"),
+                       F.col("v").alias("component"))
+    root_rows = e.select(F.col("v").alias("doc_id"),
+                         F.col("v").alias("component")).distinct()
+    return members.unionAll(root_rows)
+
+
+def dedup_cluster_assign(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Every doc with its near-dup cluster id and survivor flag:
+    component = min reachable doc id over ``pairs`` (docs in no pair
+    are their own singleton component), keep = (doc_id == component).
+    One broadcast-or-shuffle left join: the component map is ~(#docs in
+    any pair) rows — tiny next to the corpus."""
+    spark = docs.sparkSession
+    comp = connected_components(spark, pairs)
+    out = (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+           .join(comp, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.coalesce("component", F.col("doc_id")).alias("component"))
+           .withColumn("keep", F.col("doc_id") == F.col("component")))
+    return out

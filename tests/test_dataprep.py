@@ -317,3 +317,78 @@ def test_multimodal_resize(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         MM.resize_media(media, 4, 4, use_real_decoder=True)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Large-star/small-star CC ≡ pure-Python union-find on random
+    graphs with chains, cliques, cycles and singletons."""
+    import random
+
+    from datastream_io_spark.operators.dataprep import (
+        connected_components, dedup_cluster_assign)
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = set()
+        # chains (long diameter), a clique, a cycle, random noise
+        for s in (0, 10, 20):
+            for i in range(s, s + 7):
+                edges.add((i, i + 1))
+        for a in range(30, 35):
+            for b in range(a + 1, 35):
+                edges.add((a, b))
+        edges |= {(40, 41), (41, 42), (42, 40)}
+        for _ in range(15):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+
+        par = list(range(n))
+
+        def find(x):
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                par[max(ra, rb)] = min(ra, rb)
+        exp = {}
+        nodes_in_pairs = {x for e in edges for x in e}
+        for x in nodes_in_pairs:
+            exp[x] = find(x)
+        # canonical: component = min member id
+        min_of = {}
+        for x, r in exp.items():
+            min_of[r] = min(min_of.get(r, x), x)
+        exp = {x: min_of[r] for x, r in exp.items()}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "doc_a long, doc_b long")
+        got = {int(r["doc_id"]): int(r["component"]) for r in
+               connected_components(spark, pairs).collect()}
+        assert got == exp, trial
+
+        # survivor assignment over the full node range incl. singletons
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        assign = {int(r["doc_id"]): (int(r["component"]), bool(r["keep"]))
+                  for r in dedup_cluster_assign(docs, pairs).collect()}
+        assert len(assign) == n
+        for i in range(n):
+            comp = exp.get(i, i)
+            assert assign[i] == (comp, i == comp), i
+
+
+def test_connected_components_empty_pairs(spark):
+    from datastream_io_spark.operators.dataprep import (
+        connected_components, dedup_cluster_assign)
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(spark, pairs).count() == 0
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = {int(r["doc_id"]): (int(r["component"]), bool(r["keep"]))
+            for r in dedup_cluster_assign(docs, pairs).collect()}
+    assert rows == {1: (1, True), 2: (2, True)}
