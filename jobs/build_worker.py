@@ -1,10 +1,14 @@
 """spark-submit worker for a multi-process (multi-"executor") index
-build: each worker owns the splits with ``split_id % n_workers ==
-worker_id`` and builds their segments against a SHARED index directory.
-The per-split manifests make this safe (disjoint inputs and outputs,
-atomic rename + manifest per split), so a fleet of these workers IS the
-"N executors" story — locally as separate JVM processes, on a cluster
-as separate spark-submit applications.
+build: workers build segments against a SHARED index directory. By
+default each worker CLAIMS pending splits dynamically (atomic
+``manifest/claim_NNNN`` markers) so a fast worker steals the tail a
+static assignment would leave idle on a straggler; ``--workers W
+--worker-id i`` switches to the static ``split % W == i`` partition
+(useful when workers must not touch each other's claim files). The
+per-split manifests make both safe (disjoint inputs and outputs,
+atomic rename + manifest per split), so a fleet of these workers IS
+the "N executors" story — locally as separate JVM processes, on a
+cluster as separate spark-submit applications.
 
     # stage once (any worker or the coordinator):
     spark-submit --py-files engine.zip jobs/build_index.py --stage-only ...
@@ -27,40 +31,69 @@ import sys
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", required=True)
-    p.add_argument("--workers", type=int, default=1)
+    p.add_argument("--workers", type=int, default=None,
+                   help="static split%%W assignment (with --worker-id); "
+                        "default: dynamic claiming")
     p.add_argument("--worker-id", type=int, default=0)
     p.add_argument("--salt-threshold", type=int, default=1 << 20)
     p.add_argument("--salts", type=int, default=8)
     p.add_argument("--concurrency", type=int, default=4)
     args = p.parse_args(argv)
 
-    from concurrent.futures import ThreadPoolExecutor
-
     from pyspark.sql import SparkSession
 
     from datastream_io_spark.operators.build import build_segment
-    from datastream_io_spark.sources.manifest import pending_splits
+    from datastream_io_spark.sources.manifest import claim_split, pending_splits
 
     spark = SparkSession.builder.appName(
         f"build_worker_{args.worker_id}").getOrCreate()
     with open(f"{args.index}/staging.json") as f:
         info = json.load(f)
-    mine = [s for s in pending_splits(args.index, info["n_splits"])
-            if s % args.workers == args.worker_id]
+    owner = f"worker_{args.worker_id}_pid{__import__('os').getpid()}"
+    pending = pending_splits(args.index, info["n_splits"])
+    if args.workers is not None:
+        mine = iter([s for s in pending
+                     if s % args.workers == args.worker_id])
+    else:
+        # dynamic: claim lazily so late splits can be stolen from
+        # stragglers; the iterator is pulled from the worker threads
+        mine = (s for s in pending if claim_split(args.index, s, owner))
 
-    def run(split_id: int) -> None:
+    def run(split_id: int) -> int:
         build_segment(spark, args.index, split_id, info,
                       salt_threshold=args.salt_threshold,
                       n_salts=args.salts)
+        return split_id
 
-    if args.concurrency <= 1 or len(mine) <= 1:
+    built = []
+    if args.concurrency <= 1:
         for s in mine:
-            run(s)
+            built.append(run(s))
     else:
-        with ThreadPoolExecutor(max_workers=args.concurrency) as pool:
-            for _ in pool.map(run, mine):
-                pass
-    print(f"worker {args.worker_id}/{args.workers}: built {len(mine)} splits")
+        # NOT Executor.map: it drains the iterable eagerly, which would
+        # claim every pending split up front and forfeit stealing —
+        # puller threads take the next (claimed) split only when free
+        import threading
+
+        it_lock = threading.Lock()
+
+        def puller() -> None:
+            while True:
+                with it_lock:
+                    s = next(mine, None)
+                if s is None:
+                    return
+                built.append(run(s))
+
+        threads = [threading.Thread(target=puller)
+                   for _ in range(args.concurrency)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    mode = ("dynamic" if args.workers is None
+            else f"static {args.worker_id}/{args.workers}")
+    print(f"worker[{mode}]: built {len(built)} splits {sorted(built)}")
     return 0
 
 
