@@ -78,32 +78,15 @@ def tokenize_simple_col(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), "[^a-z0-9_]+"), lambda t: t != "")
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def tokenize_simple_udf(s: pd.Series) -> pd.Series:
-    # vectorized: pandas .str ops over the whole Arrow batch
-    return s.str.lower().str.findall(_SIMPLE_RE)
-
-
-@F.pandas_udf(ArrayType(StringType()))
-def tokenize_code_udf(s: pd.Series) -> pd.Series:
-    # identifier extraction is vectorized; camel splitting hits the
-    # memoized _expand_ident (Zipfian reuse) over the Arrow batch
-    idents = s.str.findall(_IDENT_RE)
-
-    def expand(lst: list[str]) -> list[str]:
-        out: list[str] = []
-        for ident in lst:
-            out.extend(_expand_ident(ident))
-        return out
-
-    return idents.map(expand)
-
-
 def tokenize_series(s: pd.Series, mode: str) -> pd.Series:
-    """Vectorized tokenize of a pandas Series — the SAME chain the UDFs
-    run, factored out so the fused build kernel
-    (:func:`~datastream_io_spark.operators.postings.term_stats_fused`)
-    cannot drift from the per-doc UDF path. Nulls tokenize to []."""
+    """Vectorized tokenize of a pandas Series — the ONE chain shared by
+    the pandas UDFs below and the fused build kernel
+    (:func:`~datastream_io_spark.operators.postings.term_stats_fused`),
+    so build-time and query-time tokenization cannot drift (the
+    engine's rank-identity invariant rides on it). Nulls tokenize to
+    []. simple: pandas .str ops over the whole Arrow batch; code:
+    vectorized identifier extraction + the memoized _expand_ident
+    (Zipfian reuse) per batch."""
     if mode == "simple":
         out = s.str.lower().str.findall(_SIMPLE_RE)
     elif mode == "code":
@@ -121,6 +104,16 @@ def tokenize_series(s: pd.Series, mode: str) -> pd.Series:
     else:
         raise ValueError(f"unknown tokenizer mode: {mode}")
     return out.map(lambda v: v if isinstance(v, list) else [])
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_simple_udf(s: pd.Series) -> pd.Series:
+    return tokenize_series(s, "simple")
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_code_udf(s: pd.Series) -> pd.Series:
+    return tokenize_series(s, "code")
 
 
 def tokenizer_for(mode: str):

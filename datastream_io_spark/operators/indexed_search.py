@@ -849,6 +849,12 @@ def _tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
             try:
                 return spark.read.parquet(aside).select("doc_id")
             except Exception:
+                if os.path.exists(aside):
+                    # the aside survived the failed read: this is a real
+                    # read error (corrupt footer, permissions), NOT the
+                    # rmtree race — swallowing it would silently serve
+                    # deleted docs
+                    raise
                 continue  # rmtree won the race; the swap is completing
         if retries:
             import time
@@ -911,9 +917,14 @@ def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
     terms (df desc, term asc — deterministic). A hit of the cap is the
     documented approximation at 10^12-file scale: the dropped
     expansions are the rarest, i.e. the smallest score mass."""
+    # empty results carry the same schema as the hit path, so callers
+    # can select doc cols without branching on emptiness
+    empty_schema = ("doc_id long, repo string, path string, commit string,"
+                    " lang string, score double") if with_doc_cols else \
+                   "doc_id long, score double"
     prefix = prefix.lower().rstrip("*")
     if not prefix:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return spark.createDataFrame([], empty_schema)
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
     d = spark.read.parquet(os.path.join(index_dir, "dict"))
@@ -922,7 +933,7 @@ def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions).collect())
     if not rows:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return spark.createDataFrame([], empty_schema)
     idf = {r["term"]: float(r["idf"]) for r in rows}
     buckets = sorted({int(r["term_bucket"]) for r in rows})
     return _wand_topk(spark, index_dir, idf, buckets,
@@ -949,8 +960,14 @@ def facet_counts(spark: SparkSession, index_dir: str, query: str,
             f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
-    empty = spark.createDataFrame(
-        [], f"{facet_col} string, n_docs long")
+    # empty schema uses the facet column's REAL type from docs/ (an
+    # int facet would otherwise come back string-typed only when empty)
+    docs_schema = spark.read.parquet(
+        os.path.join(index_dir, "docs")).schema
+    facet_field = docs_schema[facet_col]
+    import pyspark.sql.types as _T
+    empty = spark.createDataFrame([], _T.StructType([
+        facet_field, _T.StructField("n_docs", _T.LongType(), False)]))
     mode, terms, phrase = _plan_terms(query, mode, stats)
     if not terms:
         return empty

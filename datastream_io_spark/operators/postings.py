@@ -76,8 +76,6 @@ def term_stats_fused(df: DataFrame, mode: str, positions: bool,
     needs anyway. At 10^12 files that deletes the largest shuffle of
     the build (BASELINE.json north_star: vectorized Arrow/pandas UDFs,
     partitioning/shuffle handled explicitly)."""
-    import numpy as np
-
     from datastream_io_spark.functions.tokenize import tokenize_series
 
     out_schema = f"{doc_col} long, term string, tf long, dl long" + (

@@ -38,17 +38,27 @@ def main(argv: list[str]) -> int:
     p.add_argument("--salt-threshold", type=int, default=1 << 20)
     p.add_argument("--salts", type=int, default=8)
     p.add_argument("--concurrency", type=int, default=4)
+    p.add_argument("--release-claims", action="store_true",
+                   help="before pulling, drop stale claims of UNDONE "
+                        "splits (a crashed fleet's leftovers would "
+                        "otherwise make every retry a no-op). Only run "
+                        "this when no other worker is live — a live "
+                        "worker's claim looks identical to a stale one")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from datastream_io_spark.operators.build import build_segment
-    from datastream_io_spark.sources.manifest import claim_split, pending_splits
+    from datastream_io_spark.sources.manifest import (
+        claim_split, pending_splits, release_claims)
 
     spark = SparkSession.builder.appName(
         f"build_worker_{args.worker_id}").getOrCreate()
     with open(f"{args.index}/staging.json") as f:
         info = json.load(f)
+    if args.release_claims:
+        n_rel = release_claims(args.index)
+        print(f"released {n_rel} stale claims")
     owner = f"worker_{args.worker_id}_pid{__import__('os').getpid()}"
     pending = pending_splits(args.index, info["n_splits"])
     if args.workers is not None:
@@ -76,6 +86,7 @@ def main(argv: list[str]) -> int:
         import threading
 
         it_lock = threading.Lock()
+        errors: list[BaseException] = []
 
         def puller() -> None:
             while True:
@@ -83,7 +94,11 @@ def main(argv: list[str]) -> int:
                     s = next(mine, None)
                 if s is None:
                     return
-                built.append(run(s))
+                try:
+                    built.append(run(s))
+                except BaseException as exc:  # propagate to main thread
+                    errors.append(exc)
+                    return
 
         threads = [threading.Thread(target=puller)
                    for _ in range(args.concurrency)]
@@ -91,6 +106,10 @@ def main(argv: list[str]) -> int:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            # a swallowed split failure must not exit 0: finalize would
+            # crash later on the missing manifest, far from the cause
+            raise errors[0]
     mode = ("dynamic" if args.workers is None
             else f"static {args.worker_id}/{args.workers}")
     print(f"worker[{mode}]: built {len(built)} splits {sorted(built)}")

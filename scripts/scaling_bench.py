@@ -79,16 +79,24 @@ while not os.path.exists(f"{{barrier}}/go"):
 mine = (s for s in pending_splits(index, info["n_splits"])
         if claim_split(index, s, f"w{{wid}}"))
 lk = threading.Lock()
+errs = []
 def puller():
     while True:
         with lk:
             s = next(mine, None)
         if s is None:
             return
-        build_segment(spark, index, s, info, salt_threshold=100_000, n_salts=8)
+        try:
+            build_segment(spark, index, s, info, salt_threshold=100_000,
+                          n_salts=8)
+        except BaseException as exc:
+            errs.append(exc)
+            return
 ts = [threading.Thread(target=puller) for _ in range(2)]
 [t.start() for t in ts]
 [t.join() for t in ts]
+if errs:
+    raise errs[0]  # nonzero exit: build_at must not proceed to finalize
 """
 
 FINALIZE_CODE = r"""
