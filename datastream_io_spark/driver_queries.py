@@ -1207,9 +1207,14 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 
 
 def q_text_quality(spark, sf_dir):
-    from datastream_io_spark.operators.dataprep import text_quality
+    """text_quality + token_count in one entry (consolidated r3 to keep
+    every oracle inside the driver's 50-row window): quality ratios AND
+    the whitespace/BPE-ish token counts, both over documents."""
+    from datastream_io_spark.operators.dataprep import (
+        text_quality, token_count_bpe_ish)
 
-    return text_quality(_docs(spark, sf_dir))
+    return text_quality(_docs(spark, sf_dir)).join(
+        token_count_bpe_ish(_docs(spark, sf_dir)), "doc_id")
 
 
 o_text_quality = """
@@ -1227,24 +1232,38 @@ SELECT doc_id,
              ['the','a','of','and','to','in','is','for','on','with'],
              lower(x)))) / len(toks), 6) AS stopword_ratio,
        round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))
-             / n_chars, 6) AS upper_ratio
+             / n_chars, 6) AS upper_ratio,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_bpe_pieces
 FROM t
 """
 
-
-def q_token_count(spark, sf_dir):
-    from datastream_io_spark.operators.dataprep import token_count_bpe_ish
-
-    return token_count_bpe_ish(_docs(spark, sf_dir))
+# token_count rides inside the text_quality entry since r3 (same table;
+# frees a 50-row-window slot for fuzzy_search)
 
 
-o_token_count = r"""
-SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-            AS BIGINT) AS n_bpe_pieces
-FROM documents
-"""
+def q_fuzzy_search(spark, sf_dir):
+    """Q20 — fuzzy term search: 'hast' at Levenshtein ≤2 expands (exact
+    length-band prune + JVM levenshtein-with-threshold over dict/) to
+    fast/hash/part on the fixture, ranked by the OR-mode BM25 sum. The
+    oracle scores every fixture term within the same distance."""
+    from datastream_io_spark.operators.indexed_search import search_fuzzy
+
+    topk = search_fuzzy(spark, _pos_index(spark, sf_dir), "hast", k=10,
+                        max_dist=2, with_doc_cols=True)
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+o_fuzzy_search = (
+    BM25_CTE.format(
+        terms="SELECT term FROM dfq WHERE levenshtein(term, 'hast') <= 2")
+    + "SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id "
+    "ORDER BY sum(s) DESC, doc_id LIMIT 10"
+)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1467,6 +1486,7 @@ QUERIES = {
     "search_many": q_search_many,
     "suggest_terms": q_suggest_terms,
     "wildcard_search": q_wildcard_search,
+    "fuzzy_search": q_fuzzy_search,
     "facet_counts": q_facet_counts,
     "delete_search": q_delete_search,
     "content_sha256": q_content_sha256,
@@ -1496,7 +1516,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
-    "token_count": q_token_count,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     # ---- past the driver's 50-row window: rows-only by design ----
@@ -1528,6 +1547,7 @@ ORACLES = {
     "search_many": o_search_many,
     "suggest_terms": o_suggest_terms,
     "wildcard_search": o_wildcard_search,
+    "fuzzy_search": o_fuzzy_search,
     "facet_counts": o_facet_counts,
     "delete_search": o_delete_search,
     "content_sha256": o_content_sha256,
@@ -1556,7 +1576,6 @@ ORACLES = {
     "dedup_exact": o_dedup_exact,
     "dedup_clusters": o_dedup_clusters,
     "text_quality": o_text_quality,
-    "token_count": o_token_count,
     "ngram_jaccard": o_ngram_jaccard,
     "cosine_topk": o_cosine_topk,
     # lang_id / minhash_lsh / simhash / ivf_ann / multimodal_features /

@@ -917,23 +917,63 @@ def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
     terms (df desc, term asc — deterministic). A hit of the cap is the
     documented approximation at 10^12-file scale: the dropped
     expansions are the rarest, i.e. the smallest score mass."""
-    # empty results carry the same schema as the hit path, so callers
-    # can select doc cols without branching on emptiness
-    empty_schema = ("doc_id long, repo string, path string, commit string,"
-                    " lang string, score double") if with_doc_cols else \
-                   "doc_id long, score double"
     prefix = prefix.lower().rstrip("*")
     if not prefix:
-        return spark.createDataFrame([], empty_schema)
+        return _empty_topk(spark, with_doc_cols)
+    return _expansion_or_topk(
+        spark, index_dir, F.col("term").startswith(prefix),
+        k, max_expansions, with_doc_cols)
+
+
+def search_fuzzy(spark: SparkSession, index_dir: str, term: str,
+                 k: int = 10, max_dist: int = 1, max_expansions: int = 128,
+                 with_doc_cols: bool = False) -> DataFrame:
+    """Q20 — fuzzy term search: expand ``term`` to every index term
+    within Levenshtein distance ``max_dist``, then rank with the
+    OR-mode BM25 kernel over the expansions (same multi-term rewrite
+    as Q18; a doc matching several variants sums their contributions).
+
+    Expansion is ONE dict/ scan: an EXACT length-band prune
+    (``|len(t) − len(q)| ≤ max_dist`` — no true match can violate it)
+    feeds the JVM ``levenshtein(col, lit, threshold)`` primitive
+    (whole-stage codegen, early-exit at the threshold; no UDF), so at
+    10^12-file dict scale the distance computation stays distributed
+    and bounded. Cap semantics match Q18: highest-df expansions kept,
+    deterministically."""
+    q = term.lower().strip()
+    if not q:
+        return _empty_topk(spark, with_doc_cols)
+    lo, hi = max(1, len(q) - max_dist), len(q) + max_dist
+    cond = (F.length("term").between(lo, hi)
+            & (F.levenshtein(F.col("term"), F.lit(q), max_dist) >= 0))
+    return _expansion_or_topk(spark, index_dir, cond, k, max_expansions,
+                              with_doc_cols)
+
+
+def _empty_topk(spark: SparkSession, with_doc_cols: bool) -> DataFrame:
+    """Empty results carry the same schema as the hit path, so callers
+    can select doc cols without branching on emptiness."""
+    schema = ("doc_id long, repo string, path string, commit string,"
+              " lang string, score double") if with_doc_cols else \
+             "doc_id long, score double"
+    return spark.createDataFrame([], schema)
+
+
+def _expansion_or_topk(spark: SparkSession, index_dir: str, dict_cond,
+                       k: int, max_expansions: int,
+                       with_doc_cols: bool) -> DataFrame:
+    """Shared tail of the multi-term rewrites (wildcard Q18, fuzzy
+    Q20): dict/ scan under ``dict_cond`` → top-``max_expansions`` by
+    (df desc, term asc) → OR-mode BM25 via the normal pruned kernel."""
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
     d = spark.read.parquet(os.path.join(index_dir, "dict"))
-    rows = (d.where(F.col("term").startswith(prefix))
+    rows = (d.where(dict_cond)
             .select("term", "df", "idf", "term_bucket")
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions).collect())
     if not rows:
-        return spark.createDataFrame([], empty_schema)
+        return _empty_topk(spark, with_doc_cols)
     idf = {r["term"]: float(r["idf"]) for r in rows}
     buckets = sorted({int(r["term_bucket"]) for r in rows})
     return _wand_topk(spark, index_dir, idf, buckets,

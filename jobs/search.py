@@ -17,12 +17,16 @@ def main(argv: list[str]) -> int:
     p.add_argument("--query", required=True)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--mode", default="and",
-                   choices=["and", "or", "phrase", "boolean", "wildcard"],
+                   choices=["and", "or", "phrase", "boolean", "wildcard",
+                            "fuzzy"],
                    help="phrase (and quoted phrases in boolean) need an "
                         "index built with positions=True; boolean parses "
                         'AND/OR/NOT, parentheses, and "quoted phrases"; '
                         "wildcard treats the query as a term prefix "
-                        "(trailing * optional)")
+                        "(trailing * optional); fuzzy expands the query "
+                        "term to index terms within --max-dist edits")
+    p.add_argument("--max-dist", type=int, default=1,
+                   help="Levenshtein budget for --mode fuzzy")
     p.add_argument("--facet", default=None, metavar="COL",
                    help="instead of top-k rows, print per-COL counts of "
                         "ALL docs matching the query (and/or/phrase)")
@@ -34,12 +38,12 @@ def main(argv: list[str]) -> int:
 
     from datastream_io_spark.operators.boolean_search import search_boolean
     from datastream_io_spark.operators.indexed_search import (
-        facet_counts, search_indexed, search_wildcard)
+        facet_counts, search_fuzzy, search_indexed, search_wildcard)
 
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
     if args.facet is not None:
-        if args.mode in ("boolean", "wildcard"):
+        if args.mode in ("boolean", "wildcard", "fuzzy"):
             p.error("--facet supports modes and/or/phrase")
         rows = facet_counts(spark, args.index, args.query, args.facet,
                             args.mode).collect()
@@ -55,6 +59,9 @@ def main(argv: list[str]) -> int:
     elif args.mode == "wildcard":
         result = search_wildcard(spark, args.index, args.query, args.k,
                                  with_doc_cols=True)
+    elif args.mode == "fuzzy":
+        result = search_fuzzy(spark, args.index, args.query, args.k,
+                              max_dist=args.max_dist, with_doc_cols=True)
     else:
         result = search_indexed(spark, args.index, args.query, args.k,
                                 args.mode, with_doc_cols=True)

@@ -450,3 +450,34 @@ def test_facet_counts_respect_tombstones(spark, tmp_path):
         spark, idx, "window", "lang", mode="or").collect()}
     assert "de" not in after
     assert {k: v for k, v in before.items() if k != "de"} == after
+
+
+def test_fuzzy_matches_bruteforce_or(spark, doc_index, doc_ctx):
+    """Q20: Levenshtein expansion + OR scoring ≡ brute-force OR over
+    every corpus term within the distance."""
+    from datastream_io_spark.functions.tokenize import tokenize_simple
+    from datastream_io_spark.operators.indexed_search import search_fuzzy
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    _, pdf = doc_ctx
+    vocab = sorted({t for txt in pdf["text"] for t in tokenize_simple(txt)})
+    for probe, d in (("hast", 2), ("kay", 1), ("scann", 1), ("ron", 2)):
+        expanded = [t for t in vocab if lev(t, probe) <= d]
+        assert expanded, (probe, d)
+        expected = brute_force_topk(pdf, " ".join(expanded), K, "or",
+                                    tokenizer="simple")
+        _check(
+            search_fuzzy(spark, doc_index, probe, K, max_dist=d).collect(),
+            expected)
+    assert search_fuzzy(spark, doc_index, "qqqqqqqq", K).count() == 0
+    assert search_fuzzy(
+        spark, doc_index, "", K, with_doc_cols=True).columns == [
+        "doc_id", "repo", "path", "commit", "lang", "score"]
