@@ -106,6 +106,29 @@ def main() -> None:
             timings[f"q_{tag}{qi}_{mode}"] = best
             assert rows is not None
 
+    # expansion rewrites (Q18 wildcard / Q20 fuzzy) + full-match-set
+    # facets (Q19) over the positional documents index, best-of-3
+    from datastream_io_spark.operators.indexed_search import (
+        facet_counts, search_fuzzy, search_wildcard)
+
+    for key, fn in [
+        ("q_doc_wildcard", lambda: search_wildcard(
+            spark, doc_idx, "s*", 10).collect()),
+        ("q_doc_fuzzy", lambda: search_fuzzy(
+            spark, doc_idx, "hast", 10, max_dist=2).collect()),
+        ("q_doc_facet", lambda: facet_counts(
+            spark, doc_idx, "window agg", "lang", "and").collect()),
+    ]:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            rows = fn()
+            dt = time.time() - t0
+            lat_ms.append(dt * 1000)
+            best = dt if best is None else min(best, dt)
+        timings[key] = best
+        assert rows is not None
+
     # 4. batched serving (Q13): the same doc AND-queries answered in ONE
     # Spark job — amortizes the fixed per-job cost that dominates p95
     from datastream_io_spark.operators.indexed_search import search_many
