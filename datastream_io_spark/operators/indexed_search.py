@@ -134,6 +134,83 @@ class Searcher:
                           len(terms), k, mode, with_doc_cols, phrase,
                           where)
 
+    def _expansion_rows(self, mask, max_expansions: int) -> list[dict]:
+        """Warm-path expansion: with the driver-cached dict, wildcard/
+        fuzzy expansion costs ZERO extra Spark jobs (the cold functions
+        pay one dict-scan job per query). Same cap semantics as
+        _expansion_or_topk: highest-df, term-asc tie-break."""
+        hits = (self._dict_pdf[mask]
+                .reset_index()
+                .sort_values(["df", "term"], ascending=[False, True])
+                .iloc[:max_expansions])
+        return [{"term": r["term"], "term_bucket": int(r["term_bucket"]),
+                 "idf": float(r["idf"])} for _, r in hits.iterrows()]
+
+    def search_wildcard(self, prefix: str, k: int = 10,
+                        max_expansions: int = 128,
+                        with_doc_cols: bool = False) -> DataFrame:
+        """Q18 on the warm path — identical results to the module-level
+        :func:`search_wildcard` (parity-tested)."""
+        prefix = prefix.lower().rstrip("*")
+        if not prefix:
+            return _empty_topk(self.spark, with_doc_cols)
+        if self._dict_pdf is None:
+            return search_wildcard(self.spark, self.index_dir, prefix, k,
+                                   max_expansions, with_doc_cols)
+        rows = self._expansion_rows(
+            self._dict_pdf.index.str.startswith(prefix), max_expansions)
+        return self._or_over(rows, k, with_doc_cols)
+
+    def search_fuzzy(self, term: str, k: int = 10, max_dist: int = 1,
+                     max_expansions: int = 128,
+                     with_doc_cols: bool = False) -> DataFrame:
+        """Q20 on the warm path — identical results to the module-level
+        :func:`search_fuzzy` (parity-tested). The exact length-band
+        prune shrinks the candidate set before the per-candidate DP."""
+        q = term.lower().strip()
+        if not q:
+            return _empty_topk(self.spark, with_doc_cols)
+        if self._dict_pdf is None:
+            return search_fuzzy(self.spark, self.index_dir, q, k,
+                                max_dist, max_expansions, with_doc_cols)
+        lens = self._dict_pdf.index.str.len()
+        band = (lens >= max(1, len(q) - max_dist)) & (
+            lens <= len(q) + max_dist)
+        cand = self._dict_pdf.index[band]
+        ok = {t for t in cand if _levenshtein_leq(t, q, max_dist)}
+        mask = self._dict_pdf.index.isin(ok)
+        rows = self._expansion_rows(mask, max_expansions)
+        return self._or_over(rows, k, with_doc_cols)
+
+    def _or_over(self, rows: list[dict], k: int,
+                 with_doc_cols: bool) -> DataFrame:
+        if not rows:
+            return _empty_topk(self.spark, with_doc_cols)
+        idf = {r["term"]: r["idf"] for r in rows}
+        buckets = sorted({r["term_bucket"] for r in rows})
+        return _wand_topk(self.spark, self.index_dir, idf, buckets,
+                          float(self.stats["avgdl"]), len(idf), k, "or",
+                          with_doc_cols)
+
+
+def _levenshtein_leq(a: str, b: str, d: int) -> bool:
+    """Banded Levenshtein ≤ d check (the warm fuzzy path's driver-side
+    twin of the JVM levenshtein-with-threshold)."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > d and cur[0] > d:
+            return False  # whole row above budget: can only grow
+        prev = cur
+    return prev[-1] <= d
+
 
 def _check_format(stats: dict, index_dir: str) -> None:
     """Indexes persisted before per-posting dls (format 2) would fail

@@ -481,3 +481,35 @@ def test_fuzzy_matches_bruteforce_or(spark, doc_index, doc_ctx):
     assert search_fuzzy(
         spark, doc_index, "", K, with_doc_cols=True).columns == [
         "doc_id", "repo", "path", "commit", "lang", "score"]
+
+
+def test_searcher_wildcard_fuzzy_match_cold_path(spark, doc_index):
+    """Warm Searcher wildcard/fuzzy (driver-cached dict, zero extra
+    Spark jobs for expansion) ≡ the cold module-level functions, in
+    both dict_cache modes."""
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher, search_fuzzy, search_wildcard)
+
+    for cache in ("driver", "spark"):
+        s = Searcher(spark, doc_index, dict_cache=cache)
+        for prefix in ("s", "gr", "zz"):
+            a = [(r.doc_id, r.score)
+                 for r in s.search_wildcard(prefix, K).collect()]
+            b = [(r.doc_id, r.score)
+                 for r in search_wildcard(spark, doc_index, prefix,
+                                          K).collect()]
+            assert a == b, ("wildcard", cache, prefix)
+        for probe, d in (("hast", 2), ("kay", 1), ("qqq", 1)):
+            a = [(r.doc_id, r.score)
+                 for r in s.search_fuzzy(probe, K, max_dist=d).collect()]
+            b = [(r.doc_id, r.score)
+                 for r in search_fuzzy(spark, doc_index, probe, K,
+                                       max_dist=d).collect()]
+            assert a == b, ("fuzzy", cache, probe)
+        # cap parity too (the warm path reimplements the cap)
+        a = [(r.doc_id, r.score)
+             for r in s.search_wildcard("s", K, max_expansions=2).collect()]
+        b = [(r.doc_id, r.score)
+             for r in search_wildcard(spark, doc_index, "s", K,
+                                      max_expansions=2).collect()]
+        assert a == b, ("cap", cache)
