@@ -167,18 +167,23 @@ class Searcher:
         """Q20 on the warm path — identical results to the module-level
         :func:`search_fuzzy` (parity-tested). The exact length-band
         prune shrinks the candidate set before the per-candidate DP."""
-        q = term.lower().strip()
+        q = _fuzzy_term(term)
         if not q:
             return _empty_topk(self.spark, with_doc_cols)
         if self._dict_pdf is None:
             return search_fuzzy(self.spark, self.index_dir, q, k,
                                 max_dist, max_expansions, with_doc_cols)
         lens = self._dict_pdf.index.str.len()
-        band = (lens >= max(1, len(q) - max_dist)) & (
-            lens <= len(q) + max_dist)
-        cand = self._dict_pdf.index[band]
-        ok = {t for t in cand if _levenshtein_leq(t, q, max_dist)}
-        mask = self._dict_pdf.index.isin(ok)
+        band = np.asarray((lens >= max(1, len(q) - max_dist))
+                          & (lens <= len(q) + max_dist))
+        # distance check only over the band candidates; scatter back
+        # into a full mask (no second whole-vocabulary pass)
+        band_pos = np.flatnonzero(band)
+        cand = self._dict_pdf.index[band_pos]
+        keep = np.fromiter((_levenshtein_leq(t, q, max_dist)
+                            for t in cand), bool, count=len(cand))
+        mask = np.zeros(len(self._dict_pdf), dtype=bool)
+        mask[band_pos[keep]] = True
         rows = self._expansion_rows(mask, max_expansions)
         return self._or_over(rows, k, with_doc_cols)
 
@@ -191,6 +196,18 @@ class Searcher:
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
                           float(self.stats["avgdl"]), len(idf), k, "or",
                           with_doc_cols)
+
+
+def _fuzzy_term(term: str) -> str:
+    """Normalize a fuzzy query to one term; a multi-word query would
+    silently match nothing (no index term contains a space), so reject
+    it loudly instead."""
+    q = term.lower().strip()
+    if any(c.isspace() for c in q):
+        raise ValueError(
+            f"fuzzy search takes a single term, got {term!r} — "
+            "run one fuzzy query per word (or use mode='or')")
+    return q
 
 
 def _levenshtein_leq(a: str, b: str, d: int) -> bool:
@@ -1017,7 +1034,7 @@ def search_fuzzy(spark: SparkSession, index_dir: str, term: str,
     10^12-file dict scale the distance computation stays distributed
     and bounded. Cap semantics match Q18: highest-df expansions kept,
     deterministically."""
-    q = term.lower().strip()
+    q = _fuzzy_term(term)
     if not q:
         return _empty_topk(spark, with_doc_cols)
     lo, hi = max(1, len(q) - max_dist), len(q) + max_dist
