@@ -187,6 +187,16 @@ class Searcher:
         rows = self._expansion_rows(mask, max_expansions)
         return self._or_over(rows, k, with_doc_cols)
 
+    def facet_counts(self, query: str, facet_col: str = "lang",
+                     mode: str = "and", where=None) -> DataFrame:
+        """Q19 on the warm path: dict lookups come from the cached
+        dictionary (zero extra Spark jobs when dict_cache='driver');
+        results are identical to the module-level
+        :func:`facet_counts` (parity-tested)."""
+        return _facet_counts_impl(
+            self.spark, self.index_dir, self.stats, query, facet_col,
+            mode, where, self._lookup)
+
     def _or_over(self, rows: list[dict], k: int,
                  with_doc_cols: bool) -> DataFrame:
         if not rows:
@@ -1089,11 +1099,19 @@ def facet_counts(spark: SparkSession, index_dir: str, query: str,
 
     ``where`` optionally restricts the counted docs (facets of a
     filtered result page)."""
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    return _facet_counts_impl(
+        spark, index_dir, stats, query, facet_col, mode, where,
+        lambda terms: lookup_terms(spark, index_dir, terms,
+                                   int(stats["n_buckets"])))
+
+
+def _facet_counts_impl(spark, index_dir, stats, query, facet_col, mode,
+                       where, lookup) -> DataFrame:
     if mode not in ("and", "or", "phrase"):
         raise ValueError(
             f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
-    stats = read_stats(index_dir)
-    _check_format(stats, index_dir)
     # empty schema uses the facet column's REAL type from docs/ (an
     # int facet would otherwise come back string-typed only when empty)
     docs_schema = spark.read.parquet(
@@ -1105,8 +1123,7 @@ def facet_counts(spark: SparkSession, index_dir: str, query: str,
     mode, terms, phrase = _plan_terms(query, mode, stats)
     if not terms:
         return empty
-    dict_rows = lookup_terms(spark, index_dir, terms,
-                             int(stats["n_buckets"]))
+    dict_rows = lookup(terms)
     if (mode in ("and", "phrase") and len(dict_rows) < len(terms)) \
             or not dict_rows:
         return empty

@@ -168,3 +168,27 @@ def test_boolean_search_scans_are_pruned(spark, pos_index):
     assert scans, "no FileScan found"
     for s in scans:
         assert "term_bucket" in s["PartitionFilters"], s["raw"]
+
+
+def test_wildcard_expansion_scan_pushes_startswith(spark, doc_index):
+    """Q18 plan: the wildcard expansion's dict scan pushes the
+    StartsWith predicate into parquet, so term-sorted row groups
+    outside the prefix range skip via min/max stats."""
+    d = spark.read.parquet(f"{doc_index}/dict").where(
+        F.col("term").startswith("s"))
+    scans = scan_info(d)
+    assert scans and "StartsWith(term,s)" in scans[0]["PushedFilters"]
+
+
+def test_fuzzy_expansion_uses_jvm_levenshtein(spark, doc_index):
+    """Q20 plan: the fuzzy expansion is pure JVM expression work — the
+    levenshtein(threshold) primitive appears in the plan and there is
+    no Python/Arrow eval node in the dict scan stage."""
+    from datastream_io_spark.plans.explain import executed_plan
+
+    d = spark.read.parquet(f"{doc_index}/dict").where(
+        (F.length("term").between(3, 5))
+        & (F.levenshtein(F.col("term"), F.lit("hast"), 2) >= 0))
+    plan = executed_plan(d)
+    assert "levenshtein" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

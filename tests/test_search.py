@@ -513,3 +513,22 @@ def test_searcher_wildcard_fuzzy_match_cold_path(spark, doc_index):
              for r in search_wildcard(spark, doc_index, "s", K,
                                       max_expansions=2).collect()]
         assert a == b, ("cap", cache)
+
+
+def test_searcher_facets_match_cold_path(spark, doc_index):
+    """Warm Searcher facet_counts ≡ the cold function, both cache
+    modes, incl. where= and the empty case."""
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher, facet_counts)
+
+    for cache in ("driver", "spark"):
+        s = Searcher(spark, doc_index, dict_cache=cache)
+        for q, mode, where in (("window agg", "and", None),
+                               ("window", "or", "lang <> 'en'"),
+                               ("nosuchterm", "and", None)):
+            a = sorted((r["lang"], r["n_docs"]) for r in
+                       s.facet_counts(q, "lang", mode, where).collect())
+            b = sorted((r["lang"], r["n_docs"]) for r in
+                       facet_counts(spark, doc_index, q, "lang", mode,
+                                    where).collect())
+            assert a == b, (cache, q, mode)
