@@ -659,6 +659,12 @@ def _purge_deleted_locked(spark: SparkSession, index_dir: str) -> dict:
         decode_blocks,
     )
 
+    if os.path.exists(os.path.join(index_dir, "manifest",
+                                   "wave_commit.json")):
+        raise RuntimeError(
+            "a streaming merge wave is committed but not fully applied "
+            "(crash mid-apply) — run merge_stream_batches first so "
+            "postings/docs/dict agree before purging")
     # repair any swap a previous purge crash left half-finished
     for sub in ("postings", "docs", "dict"):
         repair_swap(os.path.join(index_dir, sub))

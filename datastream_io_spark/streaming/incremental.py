@@ -131,12 +131,83 @@ def ingest_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     _WATERMARK_CACHE[os.path.abspath(index_dir)] = offset + int(n_docs)
 
 
+def _encode_with_split(it):
+    """mapInPandas encode kernel — same change-point scheme as
+    build._encode_partitions, with split_id as an extra group key +
+    output column. Shared by the wholesale finalize and the
+    incremental merge wave."""
+    import numpy as np
+    import pandas as pd
+
+    from datastream_io_spark.operators.codec import encode_blocks
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        splits = pdf["split_id"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dls = pdf["dl"].to_numpy()
+        pos_col = (pdf["positions"].to_numpy()
+                   if "positions" in pdf.columns else None)
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (splits[1:] != splits[:-1])
+            | (salts[1:] != salts[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            flat_pos = (np.concatenate(pos_col[s:e])
+                        if pos_col is not None else None)
+            rows.append((
+                terms[s], int(salts[s]), int(ids[s]), int(ids[e - 1]),
+                int(e - s), int(tfs[s:e].sum()),
+                encode_blocks(ids[s:e], tfs[s:e], dls[s:e],
+                              positions=flat_pos),
+                int(splits[s]),
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "term", "salt", "first_doc_id", "last_doc_id",
+            "df_run", "cf_run", "blocks", "split_id"])
+
+
+def _merge_run_rows(runs: DataFrame, n_buckets: int) -> DataFrame:
+    """One posting row per (term, term_bucket, split): doc-id-disjoint
+    runs concat in first_doc_id order (pure Column, zero re-encode) —
+    shared by the wholesale finalize and the incremental merge wave so
+    the on-disk row shape can never drift between them."""
+    return (
+        runs.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .groupBy("term", "term_bucket", "split_id")
+        .agg(
+            F.sum("df_run").alias("df"),
+            F.sum("cf_run").alias("cf"),
+            F.min("first_doc_id").alias("first_doc_id"),
+            F.max("last_doc_id").alias("last_doc_id"),
+            F.flatten(F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("first_doc_id", "blocks"))),
+                lambda x: x["blocks"])).alias("blocks"),
+        )
+    )
+
+
 def finalize_stream_index(spark: SparkSession, index_dir: str,
                           n_buckets: int = 16, tokenizer: str = "code",
                           salt_threshold: int = 1 << 20,
                           n_salts: int = 8) -> dict:
     """Compact staged batches into the standard searchable index layout
-    (docs/, stats.json, postings/term_bucket=K/, dict/)."""
+    (docs/, stats.json, postings/term_bucket=K/, dict/).
+
+    O(total staged data) by design — the FIRST materialization of a
+    streaming index. Continuing ingest afterwards should use
+    :func:`merge_stream_batches`, which folds only the NEW staged
+    batches into the existing layout (O(new data), untouched posting
+    buckets are never read)."""
     # same resurrection hazard as the batch builder's finalize: this
     # rewrites docs/ and postings/ wholesale from *_staged, which a
     # purge leaves stale (purged docs still present)
@@ -152,8 +223,14 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     docs = spark.read.parquet(*_batch_dirs("docs_staged"))
     docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-    row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+    # exact integer dl sum, avg in Python: merge_stream_batches must
+    # reproduce avgdl BIT-identically from (old sum + delta sum) — a
+    # float-accumulated avg would drift in the last ulp and break the
+    # merge ≡ wholesale-finalize score-identity contract
+    row = docs.agg(F.count("*").alias("n"),
+                   F.sum("dl").cast("long").alias("sum_dl")).collect()[0]
+    n_docs, sum_dl = int(row["n"]), int(row["sum_dl"] or 0)
+    avgdl = sum_dl / n_docs if n_docs else 0.0
 
     # mergeSchema: without it Spark infers from ONE batch's footer, so a
     # positions-less batch could silently hide every other batch's
@@ -205,45 +282,6 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
                 "were ingested with mixed positions settings; re-ingest "
                 "consistently (ingest_batch(..., positions=True))")
 
-    def _encode_with_split(it):
-        # same change-point kernel as build._encode_partitions, with
-        # split_id as an extra group key + output column
-        import numpy as np
-        import pandas as pd
-
-        from datastream_io_spark.operators.codec import encode_blocks
-
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            terms = pdf["term"].to_numpy()
-            splits = pdf["split_id"].to_numpy()
-            salts = pdf["salt"].to_numpy()
-            ids = pdf["doc_id"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["dl"].to_numpy()
-            pos_col = (pdf["positions"].to_numpy()
-                       if "positions" in pdf.columns else None)
-            change = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (splits[1:] != splits[:-1])
-                | (salts[1:] != salts[:-1])) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(pdf)]))
-            rows = []
-            for s, e in zip(starts, ends):
-                flat_pos = (np.concatenate(pos_col[s:e])
-                            if pos_col is not None else None)
-                rows.append((
-                    terms[s], int(salts[s]), int(ids[s]), int(ids[e - 1]),
-                    int(e - s), int(tfs[s:e].sum()),
-                    encode_blocks(ids[s:e], tfs[s:e], dls[s:e],
-                                  positions=flat_pos),
-                    int(splits[s]),
-                ))
-            yield pd.DataFrame(rows, columns=[
-                "term", "salt", "first_doc_id", "last_doc_id",
-                "df_run", "cf_run", "blocks", "split_id"])
-
     run_cols = ["term", "split_id", "salt", "doc_id", "tf", "dl"] + (
         ["positions"] if with_positions else [])
     runs = (
@@ -253,20 +291,7 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
         .sortWithinPartitions("term", "split_id", "salt", "doc_id")
         .mapInPandas(_encode_with_split, run_schema)
     )
-    merged = (
-        runs.withColumn("term_bucket",
-                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        .groupBy("term", "term_bucket", "split_id")
-        .agg(
-            F.sum("df_run").alias("df"),
-            F.sum("cf_run").alias("cf"),
-            F.min("first_doc_id").alias("first_doc_id"),
-            F.max("last_doc_id").alias("last_doc_id"),
-            F.flatten(F.transform(
-                F.sort_array(F.collect_list(F.struct("first_doc_id", "blocks"))),
-                lambda x: x["blocks"])).alias("blocks"),
-        )
-    )
+    merged = _merge_run_rows(runs, n_buckets)
     (merged.repartition("term_bucket").sortWithinPartitions("term")
      .write.mode("overwrite").partitionBy("term_bucket")
      .parquet(os.path.join(index_dir, "postings")))
@@ -277,10 +302,18 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
 
     stats = {
         "format": 2,
-        "n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
+        "n_docs": n_docs, "avgdl": avgdl, "sum_dl": sum_dl,
+        "n_buckets": n_buckets,
         "tokenizer": tokenizer, "k1": K1, "b": B,
         "n_splits": len(bounds), "kind": "streaming",
         "positions": with_positions,
+        # incremental-merge bookkeeping (merge_stream_batches): which
+        # staged batches this index already contains, and the next free
+        # split id (fresh ids avoid colliding with compaction's coarse
+        # 0..target-1 groups — two posting rows of one term must never
+        # share a split id)
+        "merged_batches": sorted(int(b) for b in bounds),
+        "next_split_id": (max(int(b) for b in bounds) + 1) if bounds else 0,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
@@ -288,6 +321,309 @@ def finalize_stream_index(spark: SparkSession, index_dir: str,
     with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
         json.dump({"n_terms": n_terms}, f)
     return stats
+
+
+def _wave_commit_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest", "wave_commit.json")
+
+
+_MERGE_TMPS = ("merge_tmp_postings", "merge_tmp_docs", "merge_tmp_dict")
+
+
+def _wave_file_copies(index_dir: str, tmp_sub: str, dest_sub: str,
+                      wave_id: str) -> list[tuple[str, str]]:
+    """Deterministic (src, dest) copy plan for a wave's part files:
+    tmp parquet output → wave-prefixed filenames inside the live
+    directory. Deterministic names make the apply step idempotent — a
+    crashed apply re-copies (overwrites) instead of duplicating."""
+    tmp = os.path.join(index_dir, tmp_sub)
+    dest = os.path.join(index_dir, dest_sub)
+    plan: list[tuple[str, str]] = []
+    if dest_sub == "postings":
+        for bdir in sorted(os.listdir(tmp)):
+            if not bdir.startswith("term_bucket="):
+                continue
+            files = sorted(f for f in os.listdir(os.path.join(tmp, bdir))
+                           if f.endswith(".parquet"))
+            for i, f in enumerate(files):
+                plan.append((os.path.join(tmp, bdir, f),
+                             os.path.join(dest, bdir,
+                                          f"{wave_id}_{i:04d}.parquet")))
+    else:
+        files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        for i, f in enumerate(files):
+            plan.append((os.path.join(tmp, f),
+                         os.path.join(dest, f"{wave_id}_{i:04d}.parquet")))
+    return plan
+
+
+def _apply_wave(index_dir: str, commit: dict) -> dict:
+    """Roll the committed wave forward (idempotent — safe to re-run
+    after a crash at ANY point): copy the wave's postings/docs part
+    files to their deterministic names, swap in the rebuilt dict, write
+    the new stats, then clear tmps + the commit marker. A tmp dir's
+    absence means that step already completed on a previous attempt."""
+    import shutil
+
+    from datastream_io_spark.operators.build import (
+        _write_json_atomic,
+        repair_swap,
+        swap_in,
+    )
+
+    wave_id = commit["wave_id"]
+    for tmp_sub, dest_sub in (("merge_tmp_postings", "postings"),
+                              ("merge_tmp_docs", "docs")):
+        tmp = os.path.join(index_dir, tmp_sub)
+        if not os.path.exists(tmp):
+            continue  # this step finished before a crash
+        for src, dst in _wave_file_copies(index_dir, tmp_sub, dest_sub,
+                                          wave_id):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+        shutil.rmtree(tmp)
+    dict_tmp = os.path.join(index_dir, "merge_tmp_dict")
+    dict_path = os.path.join(index_dir, "dict")
+    if os.path.exists(dict_tmp):
+        swap_in(dict_path, dict_tmp)
+    else:
+        repair_swap(dict_path)  # crash mid-swap on a previous attempt
+    stats = commit["stats_new"]
+    _write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
+    with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
+        json.dump({"n_terms": int(commit["n_terms"])}, f)
+    os.unlink(_wave_commit_path(index_dir))
+    return stats
+
+
+def _repair_merge(index_dir: str) -> None:
+    """Recover from a merge crash: a present commit marker rolls the
+    wave FORWARD (its side files are complete by construction); absent
+    marker rolls BACK by dropping half-built tmps (no live file was
+    touched before the marker — copies happen strictly after it)."""
+    import shutil
+
+    marker = _wave_commit_path(index_dir)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            _apply_wave(index_dir, json.load(f))
+        return
+    for sub in _MERGE_TMPS:
+        p = os.path.join(index_dir, sub)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+
+def merge_stream_batches(spark: SparkSession, index_dir: str,
+                         salt_threshold: int = 1 << 20,
+                         n_salts: int = 8) -> dict:
+    """Incremental finalize: fold only the staged batches ingested
+    SINCE the last finalize/merge into the existing searchable layout.
+
+    Where :func:`finalize_stream_index` is O(total corpus) per call —
+    it rewrites docs/ and postings/ wholesale from every staged batch —
+    this is O(new data): new batches become NEW posting rows (fresh
+    split ids over their own contiguous doc ranges) appended as
+    wave-prefixed parquet files inside the touched ``term_bucket=K``
+    directories; existing posting files are never read, decoded, or
+    rewritten (test-pinned by corrupting them and merging anyway). The
+    dictionary is upserted from the old dict ⊕ the wave's (df, cf)
+    delta — O(terms), not O(postings) — with idf recomputed for the
+    new corpus size, and stats advance by exact integer dl sums, so
+    search results are rank- AND score-identical (1e-9) to a wholesale
+    re-finalize over all batches. This is the Lucene-style "new
+    segment + stats update" shape the 100-TB continuous-ingest story
+    needs; periodic :func:`compact_stream_index` keeps the per-term
+    row count bounded as waves accumulate.
+
+    Crash-safe via a wave commit marker: every mutation of live state
+    happens after the marker lands and is idempotent (deterministic
+    wave-prefixed filenames, repairable dict swap); re-running after a
+    crash rolls the wave forward, or discards half-built tmps if the
+    marker never landed. Takes the maintenance lock (single writer)."""
+    from datastream_io_spark.operators.build import maintenance_lock
+
+    with maintenance_lock(index_dir, "merge"):
+        return _merge_stream_batches_locked(spark, index_dir,
+                                            salt_threshold, n_salts)
+
+
+def _merge_stream_batches_locked(spark: SparkSession, index_dir: str,
+                                 salt_threshold: int,
+                                 n_salts: int) -> dict:
+    import shutil
+
+    from datastream_io_spark.operators.build import read_stats
+
+    check_not_purged(index_dir, "incremental merge")
+    _repair_merge(index_dir)
+    stats = read_stats(index_dir)
+    if stats.get("kind") != "streaming":
+        raise ValueError(
+            "merge_stream_batches applies to streaming indexes "
+            f"(stats.kind={stats.get('kind')!r}); batch builds resume "
+            "via build_index itself")
+    if "merged_batches" not in stats:
+        raise ValueError(
+            "this streaming index predates incremental merge "
+            "bookkeeping — run finalize_stream_index once to record "
+            "merged_batches, then merge incrementally")
+    merged_already = set(stats["merged_batches"])
+    staged_root = os.path.join(index_dir, "docs_staged")
+    all_batches = sorted(
+        int(d.split("_")[1]) for d in os.listdir(staged_root)
+        if d.startswith("batch_"))
+    new_batches = [b for b in all_batches if b not in merged_already]
+    if not new_batches:
+        return stats
+    n_buckets = int(stats["n_buckets"])
+    with_positions = bool(stats.get("positions", False))
+    wave_id = f"wave_{new_batches[0]:05d}_{new_batches[-1]:05d}"
+    split_of = {b: int(stats["next_split_id"]) + i
+                for i, b in enumerate(new_batches)}
+
+    # --- build the wave's side files (no live state touched yet) ---
+    for sub in _MERGE_TMPS:
+        p = os.path.join(index_dir, sub)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    def _batch_df(sub: str, b: int) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(index_dir, sub, f"batch_{b:04d}"))
+
+    docs_new = None
+    for b in new_batches:
+        d = _batch_df("docs_staged", b).withColumn(
+            "split_id", F.lit(split_of[b]).cast("int"))
+        docs_new = d if docs_new is None else docs_new.unionByName(d)
+    docs_new = docs_new.select("doc_id", "repo", "path", "commit", "lang",
+                               "dl", "content_sha256", "split_id")
+    docs_new.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "merge_tmp_docs"))
+    drow = spark.read.parquet(
+        os.path.join(index_dir, "merge_tmp_docs")).agg(
+        F.count("*").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl")).collect()[0]
+    n_new, sum_dl_new = int(drow["n"]), int(drow["sum_dl"] or 0)
+
+    staged = None
+    for b in new_batches:
+        t = _batch_df("tf_staged", b).withColumn(
+            "split_id", F.lit(split_of[b]).cast("int"))
+        if with_positions and "positions" not in t.columns:
+            raise ValueError(
+                f"staged batch {b} has no positions but the index is "
+                "positional — re-ingest with ingest_batch(..., "
+                "positions=True)")
+        if not with_positions and "positions" in t.columns:
+            t = t.drop("positions")
+        staged = t if staged is None else staged.unionByName(t)
+    if with_positions:
+        n_null = staged.where(F.col("positions").isNull()).count()
+        if n_null:
+            raise ValueError(
+                f"{n_null} staged postings have no positions — batches "
+                "were ingested with mixed positions settings")
+
+    # per-batch range salting over each new batch's contiguous doc
+    # range — bounds come from the batch manifests (no docs/ read)
+    bounds = {}
+    for b in new_batches:
+        m = M.read_split_manifest(index_dir, b)
+        bounds[split_of[b]] = (int(m["doc_id_offset"]),
+                               max(int(m["n_docs"]), 1))
+    df_seg = staged.groupBy("term", "split_id").agg(
+        F.count("*").alias("df_seg"))
+    hot = df_seg.where(F.col("df_seg") > salt_threshold).select(
+        "term", "split_id").withColumn("is_hot", F.lit(True))
+    lo_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in bounds]),
+            F.array(*[F.lit(v[0]) for v in bounds.values()])),
+        F.col("split_id"))
+    span_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in bounds]),
+            F.array(*[F.lit(v[1]) for v in bounds.values()])),
+        F.col("split_id"))
+    staged = staged.join(F.broadcast(hot), ["term", "split_id"], "left")
+    salt_expr = F.floor(
+        (F.col("doc_id") - lo_col) * F.lit(n_salts) / span_col).cast("int")
+    staged = staged.withColumn(
+        "salt",
+        F.when(F.col("is_hot").isNotNull(), salt_expr).otherwise(F.lit(0))
+    ).drop("is_hot")
+
+    from pyspark.sql import types as T
+
+    run_schema = T.StructType(
+        list(SEGMENT_SCHEMA.fields)
+        + [T.StructField("split_id", T.IntegerType())])
+    run_cols = ["term", "split_id", "salt", "doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else [])
+    runs = (
+        staged.select(*run_cols)
+        .repartition(spark.sparkContext.defaultParallelism,
+                     "term", "split_id", "salt")
+        .sortWithinPartitions("term", "split_id", "salt", "doc_id")
+        .mapInPandas(_encode_with_split, run_schema)
+    )
+    wave_rows = _merge_run_rows(runs, n_buckets)
+    (wave_rows.repartition("term_bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(os.path.join(index_dir, "merge_tmp_postings")))
+    wave_rows = spark.read.parquet(
+        os.path.join(index_dir, "merge_tmp_postings"))
+
+    # dict upsert: old dict ⊕ wave (df, cf) delta, idf from the NEW
+    # corpus size — O(terms) driver-free work; postings never read
+    n_docs_new = int(stats["n_docs"]) + n_new
+    delta = wave_rows.groupBy("term", "term_bucket").agg(
+        F.sum("df").alias("df_d"), F.sum("cf").alias("cf_d"))
+    old_dict = spark.read.parquet(os.path.join(index_dir, "dict")).select(
+        "term", "term_bucket", "df", "cf")
+    upserted = (
+        old_dict.join(delta, ["term", "term_bucket"], "full_outer")
+        .select(
+            "term", "term_bucket",
+            (F.coalesce("df", F.lit(0))
+             + F.coalesce("df_d", F.lit(0))).alias("df"),
+            (F.coalesce("cf", F.lit(0))
+             + F.coalesce("cf_d", F.lit(0))).alias("cf"))
+        .select(
+            "term", "term_bucket", "df", "cf",
+            F.log1p((F.lit(float(n_docs_new)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)).alias("idf"))
+    )
+    (upserted.repartition("term_bucket").sortWithinPartitions("term")
+     .write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(os.path.join(index_dir, "merge_tmp_dict")))
+    n_terms = spark.read.parquet(
+        os.path.join(index_dir, "merge_tmp_dict")).count()
+
+    sum_dl_old = int(stats.get("sum_dl",
+                               round(stats["avgdl"] * stats["n_docs"])))
+    stats_new = dict(stats)
+    stats_new.update({
+        "n_docs": n_docs_new,
+        "sum_dl": sum_dl_old + sum_dl_new,
+        "avgdl": ((sum_dl_old + sum_dl_new) / n_docs_new
+                  if n_docs_new else 0.0),
+        "n_splits": int(stats["n_splits"]) + len(new_batches),
+        "merged_batches": sorted(merged_already | set(new_batches)),
+        "next_split_id": int(stats["next_split_id"]) + len(new_batches),
+    })
+
+    # --- COMMIT: after this marker the wave always rolls forward ---
+    commit = {"wave_id": wave_id, "stats_new": stats_new,
+              "n_terms": int(n_terms), "batches": new_batches}
+    marker = _wave_commit_path(index_dir)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(commit, f, indent=1)
+    os.replace(tmp, marker)
+    return _apply_wave(index_dir, commit)
 
 
 def compact_stream_index(spark: SparkSession, index_dir: str,
@@ -330,6 +666,11 @@ def _compact_stream_index_locked(spark: SparkSession, index_dir: str,
         swap_in as _swap_in,
     )
 
+    if os.path.exists(_wave_commit_path(index_dir)):
+        raise RuntimeError(
+            "a merge wave is committed but not fully applied (crash "
+            "mid-apply) — run merge_stream_batches first; it rolls the "
+            "wave forward before compaction can safely remap splits")
     with open(os.path.join(index_dir, "stats.json")) as f:
         _stats = json.load(f)
     if _stats.get("kind") != "streaming":

@@ -1,0 +1,272 @@
+"""merge_stream_batches — incremental finalize for streaming indexes
+(VERDICT r3 "Missing #1"). Contracts pinned here:
+
+  * merge-after-N-more-batches ≡ wholesale finalize over ALL batches:
+    rank identity + scores to 1e-9 at the search surface, identical
+    dict (term, df, cf) and corpus stats;
+  * O(new data): the merge never reads existing postings/ or docs/
+    files — proven by corrupting every live part file and merging
+    anyway;
+  * crash safety: a crash before the wave commit marker rolls back
+    (stale tmps are discarded); a crash mid-apply rolls forward on the
+    next call, landing byte-consistent state;
+  * composition with compact_stream_index and no-op on nothing-new.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_io_spark.corpus import corpus_df
+from datastream_io_spark.golden import brute_force_topk
+from datastream_io_spark.operators.indexed_search import search_indexed
+from datastream_io_spark.streaming.incremental import (
+    compact_stream_index,
+    finalize_stream_index,
+    ingest_batch,
+    merge_stream_batches,
+)
+
+QUERIES = [("parseConfig", "and"), ("import os error", "or"),
+           ("parse config", "and")]
+BUILD_KW = dict(n_buckets=8, tokenizer="code", salt_threshold=50,
+                n_salts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus_parts(spark):
+    """200 synthetic code files as 5 deterministic 40-doc batches."""
+    pdf = corpus_df(spark, 200, n_partitions=4).toPandas()
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    return [spark.createDataFrame(pdf.iloc[i * 40:(i + 1) * 40])
+            for i in range(5)]
+
+
+def _ingest(spark, idx, parts, start_bid=0, positions=False):
+    for i, df in enumerate(parts):
+        ingest_batch(spark, df, start_bid + i, idx, tokenizer="code",
+                     positions=positions)
+
+
+def _topk(spark, idx, query, mode, k=10):
+    return [(r.doc_id, r.score)
+            for r in search_indexed(spark, idx, query, k, mode).collect()]
+
+
+def _assert_same_answers(spark, idx_a, idx_b, queries=QUERIES):
+    for query, mode in queries:
+        a, b = _topk(spark, idx_a, query, mode), _topk(spark, idx_b,
+                                                       query, mode)
+        assert [x[0] for x in a] == [x[0] for x in b], (query, mode)
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, abs=1e-9), (query, mode)
+
+
+@pytest.fixture(scope="module")
+def merged_vs_wholesale(spark, corpus_parts, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge_stream")
+    idx_inc = str(root / "incremental")
+    _ingest(spark, idx_inc, corpus_parts[:3])
+    finalize_stream_index(spark, idx_inc, **BUILD_KW)
+    _ingest(spark, idx_inc, corpus_parts[3:], start_bid=3)
+    merge_stream_batches(spark, idx_inc, salt_threshold=50, n_salts=4)
+
+    idx_whole = str(root / "wholesale")
+    _ingest(spark, idx_whole, corpus_parts)
+    finalize_stream_index(spark, idx_whole, **BUILD_KW)
+    return idx_inc, idx_whole
+
+
+def test_merge_equals_wholesale_finalize(spark, merged_vs_wholesale):
+    idx_inc, idx_whole = merged_vs_wholesale
+    with open(f"{idx_inc}/stats.json") as f:
+        s_inc = json.load(f)
+    with open(f"{idx_whole}/stats.json") as f:
+        s_whole = json.load(f)
+    assert s_inc["n_docs"] == s_whole["n_docs"] == 200
+    assert s_inc["sum_dl"] == s_whole["sum_dl"]
+    assert s_inc["avgdl"] == s_whole["avgdl"]  # exact: integer dl sums
+    assert s_inc["merged_batches"] == [0, 1, 2, 3, 4]
+    _assert_same_answers(spark, idx_inc, idx_whole)
+
+
+def test_merged_dict_matches_wholesale(spark, merged_vs_wholesale):
+    idx_inc, idx_whole = merged_vs_wholesale
+
+    def dict_rows(idx):
+        return {
+            r["term"]: (int(r["df"]), int(r["cf"]), float(r["idf"]))
+            for r in spark.read.parquet(f"{idx}/dict").collect()
+        }
+
+    a, b = dict_rows(idx_inc), dict_rows(idx_whole)
+    assert set(a) == set(b)
+    for t in a:
+        assert a[t][:2] == b[t][:2], t
+        assert a[t][2] == pytest.approx(b[t][2], abs=1e-12), t
+
+
+def test_merge_matches_brute_force(spark, merged_vs_wholesale,
+                                   corpus_parts):
+    idx_inc, _ = merged_vs_wholesale
+    corpus = corpus_parts[0]
+    for p in corpus_parts[1:]:
+        corpus = corpus.unionByName(p)
+    docs_pdf = (
+        spark.read.parquet(f"{idx_inc}/docs")
+        .join(corpus, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text"))
+        .toPandas()
+    )
+    for query, mode in QUERIES:
+        expected = brute_force_topk(docs_pdf, query, 10, mode,
+                                    tokenizer="code")
+        got = _topk(spark, idx_inc, query, mode)
+        assert [g[0] for g in got] == [e["doc_id"] for e in expected]
+        for g, e in zip(got, expected):
+            assert g[1] == pytest.approx(e["score"], abs=1e-9)
+
+
+def test_merge_never_reads_existing_postings_or_docs(
+        spark, corpus_parts, tmp_path):
+    """O(new data) pinned structurally: every live postings/ and docs/
+    part file is overwritten with garbage before the merge — if the
+    merge read ANY of them it would crash on the corrupt footer."""
+    idx = str(tmp_path / "idx")
+    _ingest(spark, idx, corpus_parts[:2])
+    finalize_stream_index(spark, idx, **BUILD_KW)
+    _ingest(spark, idx, corpus_parts[2:3], start_bid=2)
+    for pat in ("postings/term_bucket=*/*.parquet", "docs/*.parquet"):
+        victims = glob.glob(os.path.join(idx, pat))
+        assert victims, pat
+        for v in victims:
+            with open(v, "wb") as f:
+                f.write(b"NOT A PARQUET FILE")
+    stats = merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
+    assert stats["n_docs"] == 120
+    assert stats["merged_batches"] == [0, 1, 2]
+    # the wave's new rows DID land next to the corrupt files
+    wave_files = glob.glob(
+        os.path.join(idx, "postings", "term_bucket=*", "wave_*.parquet"))
+    assert wave_files
+    assert glob.glob(os.path.join(idx, "docs", "wave_*.parquet"))
+
+
+def test_merge_noop_without_new_batches(spark, merged_vs_wholesale):
+    idx_inc, _ = merged_vs_wholesale
+    with open(f"{idx_inc}/stats.json") as f:
+        before = json.load(f)
+    n_files_before = len(glob.glob(
+        os.path.join(idx_inc, "postings", "term_bucket=*", "*.parquet")))
+    stats = merge_stream_batches(spark, idx_inc)
+    assert stats == before
+    n_files_after = len(glob.glob(
+        os.path.join(idx_inc, "postings", "term_bucket=*", "*.parquet")))
+    assert n_files_after == n_files_before
+
+
+def test_merge_rolls_back_stale_tmps(spark, corpus_parts, tmp_path):
+    """Leftover _merge_tmp_* dirs from a crash BEFORE the commit marker
+    are discarded, and the merge completes cleanly."""
+    idx = str(tmp_path / "idx")
+    _ingest(spark, idx, corpus_parts[:2])
+    finalize_stream_index(spark, idx, **BUILD_KW)
+    _ingest(spark, idx, corpus_parts[2:3], start_bid=2)
+    junk = os.path.join(idx, "merge_tmp_postings", "term_bucket=0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "stale.parquet"), "wb") as f:
+        f.write(b"junk from a crashed run")
+    stats = merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
+    assert stats["n_docs"] == 120
+    assert not os.path.exists(os.path.join(idx, "merge_tmp_postings"))
+
+
+def test_merge_crash_mid_apply_rolls_forward(spark, corpus_parts,
+                                             tmp_path, monkeypatch):
+    """Kill the apply on its FIRST file copy (marker already durable):
+    re-running merge_stream_batches rolls the wave forward, and the
+    final index answers identically to a wholesale finalize."""
+    import shutil as _shutil
+
+    idx = str(tmp_path / "idx")
+    _ingest(spark, idx, corpus_parts[:2])
+    finalize_stream_index(spark, idx, **BUILD_KW)
+    _ingest(spark, idx, corpus_parts[2:3], start_bid=2)
+
+    real_copy = _shutil.copyfile
+
+    def boom(src, dst):
+        raise OSError("injected crash during wave apply")
+
+    monkeypatch.setattr(_shutil, "copyfile", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
+    monkeypatch.setattr(_shutil, "copyfile", real_copy)
+    assert os.path.exists(
+        os.path.join(idx, "manifest", "wave_commit.json"))
+    # maintenance ops refuse until the wave is rolled forward
+    with pytest.raises(RuntimeError, match="committed but not fully"):
+        compact_stream_index(spark, idx, target_splits=1)
+
+    stats = merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
+    assert stats["n_docs"] == 120
+    assert not os.path.exists(
+        os.path.join(idx, "manifest", "wave_commit.json"))
+
+    idx_whole = str(tmp_path / "whole")
+    _ingest(spark, idx_whole, corpus_parts[:3])
+    finalize_stream_index(spark, idx_whole, **BUILD_KW)
+    _assert_same_answers(spark, idx, idx_whole)
+
+
+def test_merge_then_compact_composes(spark, corpus_parts, tmp_path):
+    idx = str(tmp_path / "idx")
+    _ingest(spark, idx, corpus_parts[:3])
+    finalize_stream_index(spark, idx, **BUILD_KW)
+    _ingest(spark, idx, corpus_parts[3:], start_bid=3)
+    merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
+    before = {(q, m): _topk(spark, idx, q, m) for q, m in QUERIES}
+    stats = compact_stream_index(spark, idx, target_splits=2)
+    assert stats["n_splits"] == 2
+    for (q, m), want in before.items():
+        assert _topk(spark, idx, q, m) == want
+
+    # and a further merge wave after compaction gets FRESH split ids
+    # (no collision with the coarse 0..target-1 groups)
+    extra = corpus_parts[0].withColumn(
+        "path", F.concat(F.col("path"), F.lit(".extra")))
+    ingest_batch(spark, extra, 5, idx, tokenizer="code")
+    stats = merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
+    assert stats["n_docs"] == 240
+    post_splits = {
+        int(r["split_id"]) for r in
+        spark.read.parquet(f"{idx}/postings").select("split_id")
+        .distinct().collect()}
+    assert len(post_splits & {0, 1}) == 2  # coarse groups still there
+    assert max(post_splits) >= stats["next_split_id"] - 1
+    rows = _topk(spark, idx, "parseConfig", "and")
+    assert rows  # still searchable with mixed coarse + wave splits
+
+
+def test_merge_positional_phrase(spark, tmp_path):
+    """Positional wave merge: phrase answers equal a wholesale
+    positional finalize."""
+    pdf = corpus_df(spark, 90, n_partitions=2).toPandas()
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    parts = [spark.createDataFrame(pdf.iloc[i * 30:(i + 1) * 30])
+             for i in range(3)]
+    idx = str(tmp_path / "idx")
+    _ingest(spark, idx, parts[:2], positions=True)
+    finalize_stream_index(spark, idx, **BUILD_KW)
+    _ingest(spark, idx, parts[2:], start_bid=2, positions=True)
+    merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
+
+    idx_whole = str(tmp_path / "whole")
+    _ingest(spark, idx_whole, parts, positions=True)
+    finalize_stream_index(spark, idx_whole, **BUILD_KW)
+    _assert_same_answers(spark, idx, idx_whole,
+                         queries=[("parse config", "phrase"),
+                                  ("import os", "phrase")])
