@@ -203,12 +203,15 @@ def swap_in(path: str, tmp: str) -> None:
 
 
 def write_dictionary(spark: SparkSession, postings: DataFrame, n_docs: int,
-                     index_dir: str, to_tmp: bool = False) -> str:
+                     index_dir: str, to_tmp: bool = False,
+                     out: str | None = None) -> str:
     """THE dictionary build (df/cf/idf per term, bucket-partitioned,
     term-sorted within each bucket so prefix scans skip row groups via
     parquet min/max stats) — one definition shared by the batch
     finalize, the streaming finalize, and purge so scoring can never
-    drift between them. Returns the directory written."""
+    drift between them. ``out`` overrides the destination (per-bucket
+    finalize tasks write into their own tmp dir). Returns the
+    directory written."""
     dictionary = postings.groupBy("term", "term_bucket").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).select(
@@ -216,8 +219,10 @@ def write_dictionary(spark: SparkSession, postings: DataFrame, n_docs: int,
         F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5)).alias("idf"),
     )
-    out = os.path.join(index_dir, "dict_tmp" if to_tmp else "dict")
-    if to_tmp and os.path.exists(out):
+    side_write = to_tmp or out is not None
+    if out is None:
+        out = os.path.join(index_dir, "dict_tmp" if to_tmp else "dict")
+    if side_write and os.path.exists(out):
         import shutil
         shutil.rmtree(out)
     (dictionary.repartition("term_bucket").sortWithinPartitions("term")
@@ -275,17 +280,14 @@ def stage_corpus(
     if os.path.exists(_staging_path(index_dir)):
         with open(_staging_path(index_dir)) as f:
             info = json.load(f)
-        frozen = {"n_splits": info["n_splits"], "n_buckets": info["n_buckets"],
-                  "tokenizer": info["tokenizer"],
-                  "positions": bool(info.get("positions", False))}
-        asked = {"n_splits": n_splits, "n_buckets": n_buckets,
-                 "tokenizer": tokenizer, "positions": bool(positions)}
-        if frozen != asked:
-            raise ValueError(
-                f"index at {index_dir} was staged with {frozen}, resume "
-                f"requested {asked} — staging is frozen (doc ids must not "
-                "change); rebuild into a fresh directory to change these")
+        _check_frozen(info, index_dir, n_splits, n_buckets, tokenizer,
+                      positions)
         return info
+    if os.path.exists(_staging_plan_path(index_dir)):
+        raise RuntimeError(
+            f"{index_dir} has a sharded staging in progress "
+            "(staging_plan.json) — finish it via stage_split workers + "
+            "stage_commit, or remove the plan to restage monolithically")
     os.makedirs(index_dir, exist_ok=True)
 
     # deterministic survivor per doc key: dropDuplicates keeps an
@@ -335,6 +337,180 @@ def stage_corpus(
     }
     _write_json_atomic(_staging_path(index_dir), info)
     return info
+
+
+def _staging_plan_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "staging_plan.json")
+
+
+def _check_frozen(existing: dict, index_dir: str, n_splits: int,
+                  n_buckets: int, tokenizer: str, positions: bool) -> None:
+    frozen = {"n_splits": existing["n_splits"],
+              "n_buckets": existing["n_buckets"],
+              "tokenizer": existing["tokenizer"],
+              "positions": bool(existing.get("positions", False))}
+    asked = {"n_splits": n_splits, "n_buckets": n_buckets,
+             "tokenizer": tokenizer, "positions": bool(positions)}
+    if frozen != asked:
+        raise ValueError(
+            f"index at {index_dir} was staged with {frozen}, resume "
+            f"requested {asked} — staging is frozen (doc ids must not "
+            "change); rebuild into a fresh directory to change these")
+
+
+def stage_plan(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    n_splits: int,
+    n_buckets: int,
+    tokenizer: str,
+    positions: bool = False,
+) -> dict:
+    """Sharded phase A, coordinator step: ONE aggregation job counting
+    the distinct doc keys per split (a key's duplicates all hash to one
+    split, so distinct-per-split == deduped count), prefix-summed to
+    the frozen id offsets. Workers then stage splits independently
+    (:func:`stage_split`, claimed via ``manifest.claim_task``) and the
+    coordinator freezes staging with :func:`stage_commit` — so the
+    write of the staged copy, the expensive part of phase A, scales
+    with workers like every other phase. Ids are IDENTICAL to the
+    single-job :func:`stage_corpus` (same dedupe tie-break, same
+    per-split ordering; equality is test-pinned)."""
+    check_not_purged(index_dir, "a staging resume")
+    if os.path.exists(_staging_path(index_dir)):
+        with open(_staging_path(index_dir)) as f:
+            info = json.load(f)
+        _check_frozen(info, index_dir, n_splits, n_buckets, tokenizer,
+                      positions)
+        return info
+    if os.path.exists(_staging_plan_path(index_dir)):
+        with open(_staging_plan_path(index_dir)) as f:
+            plan = json.load(f)
+        _check_frozen(plan, index_dir, n_splits, n_buckets, tokenizer,
+                      positions)
+        return plan
+    os.makedirs(index_dir, exist_ok=True)
+    counts = {
+        int(r["split_id"]): int(r["n"])
+        for r in corpus.withColumn("split_id", _doc_key_split(n_splits))
+        .groupBy("split_id")
+        .agg(F.countDistinct("repo", "path", "commit").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for s in range(n_splits):
+        offsets[s] = acc
+        acc += counts.get(s, 0)
+    plan = {
+        "n_docs": acc,
+        "n_splits": n_splits,
+        "n_buckets": n_buckets,
+        "tokenizer": tokenizer,
+        "positions": positions,
+        "split_counts": {str(k): v for k, v in counts.items()},
+        "split_offsets": {str(k): v for k, v in offsets.items()},
+    }
+    _write_json_atomic(_staging_plan_path(index_dir), plan)
+    return plan
+
+
+def stage_splits(spark: SparkSession, corpus: DataFrame, index_dir: str,
+                 splits: list[int], plan: dict) -> None:
+    """Sharded phase A, one worker task: stage the given splits in ONE
+    corpus pass — filter to their key-hashes, dedupe (split-local ≡
+    global: all duplicates of a key share its split), assign each
+    split's frozen id range, write every ``staged_corpus/split_id=N``
+    atomically (tmp → rename + marker). Batching claimed splits per
+    task bounds read amplification: a source partitioned on the split
+    expression (Iceberg transform, the 100-TB layout) prunes the scan
+    to exactly these splits. Disjoint inputs/outputs/markers → a
+    worker fleet runs these tasks concurrently, like segment builds."""
+    check_not_purged(index_dir, "staging")
+    n_splits = plan["n_splits"]
+    todo = []
+    for s in splits:
+        if M.read_task_marker(index_dir, f"stage_{s:04d}") is not None:
+            continue
+        if plan["split_counts"].get(str(s), 0) == 0:
+            M.write_task_marker(index_dir, f"stage_{s:04d}", {"n_docs": 0})
+            continue
+        todo.append(s)
+    if not todo:
+        return
+    # tmp lives OUTSIDE staged_corpus/: a crash-leftover dir inside the
+    # hive-partitioned tree would break partition discovery for readers
+    task_id = f"s{min(todo):04d}_{max(todo):04d}"
+    tmp = os.path.join(index_dir, "stage_build", task_id)
+    filtered = corpus.withColumn(
+        "split_id", _doc_key_split(n_splits)).where(
+        F.col("split_id").isin(todo))
+    hashed = filtered.withColumn("content_sha256",
+                                 F.sha2(F.col("content"), 256))
+    w_dedup = Window.partitionBy("repo", "path", "commit").orderBy(
+        F.desc("content_sha256"), F.desc("lang"))
+    deduped = (
+        hashed.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1).drop("_rn")
+    )
+    offset_map = F.create_map(*[
+        F.lit(v) for s in todo
+        for v in (s, plan["split_offsets"][str(s)])])
+    w = Window.partitionBy("split_id").orderBy("repo", "path", "commit")
+    staged = deduped.withColumn(
+        "doc_id",
+        F.element_at(offset_map, F.col("split_id")).cast("long")
+        + F.row_number().over(w).cast("long") - 1,
+    ).select("split_id", "doc_id", "repo", "path", "commit", "lang",
+             "content_sha256", "content")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    staged.write.mode("overwrite").partitionBy("split_id").parquet(tmp)
+    got = {
+        int(r["split_id"]): int(r["n"]) for r in
+        spark.read.parquet(tmp).groupBy("split_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    for s in todo:
+        want = plan["split_counts"][str(s)]
+        if got.get(s, 0) != want:
+            raise RuntimeError(
+                f"split {s} staged {got.get(s, 0)} docs but the plan "
+                f"counted {want} — the corpus changed between plan and "
+                "staging; doc ids would overlap across splits. Re-plan "
+                "into a fresh directory")
+    for s in todo:
+        dest = os.path.join(index_dir, "staged_corpus", f"split_id={s}")
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(os.path.join(tmp, f"split_id={s}"), dest)
+        M.write_task_marker(index_dir, f"stage_{s:04d}",
+                            {"n_docs": got[s]})
+    shutil.rmtree(tmp)
+
+
+def stage_split(spark: SparkSession, corpus: DataFrame, index_dir: str,
+                split_id: int, plan: dict) -> None:
+    """Single-split form of :func:`stage_splits` (worker CLI unit)."""
+    stage_splits(spark, corpus, index_dir, [split_id], plan)
+
+
+def stage_commit(index_dir: str, plan: dict) -> dict:
+    """Sharded phase A, coordinator finish: every split marker present
+    → freeze staging.json (identical content to :func:`stage_corpus`'s,
+    so every downstream phase is agnostic to HOW staging ran)."""
+    if os.path.exists(_staging_path(index_dir)):
+        with open(_staging_path(index_dir)) as f:
+            return json.load(f)
+    missing = [s for s in range(plan["n_splits"])
+               if M.read_task_marker(index_dir, f"stage_{s:04d}") is None]
+    if missing:
+        raise RuntimeError(
+            f"staging incomplete — splits {missing[:10]} have no done "
+            "marker; run the stage workers to completion first")
+    _write_json_atomic(_staging_path(index_dir), plan)
+    return plan
 
 
 def _encode_partitions(it):
@@ -405,10 +581,9 @@ def build_segment(
     dl_dir = os.path.join(index_dir, "doc_dl", f"split_{split_id:04d}")
 
     if count == 0:
-        spark.createDataFrame([], SEGMENT_SCHEMA).write.mode(
-            "overwrite").parquet(seg_dir)
-        spark.createDataFrame([], "doc_id long, dl long").write.mode(
-            "overwrite").parquet(dl_dir)
+        # no segment/dl dirs at all: finalize lists only existing dirs,
+        # and an empty partitioned write would leave an uninferrable
+        # schema-less directory behind
         metrics = {"n_docs": 0, "n_docs_tokenized": 0, "n_postings": 0,
                    "n_terms": 0, "cf": 0, "sum_dl": 0,
                    "compressed_bytes": 0, "sha_crc_sum": 0,
@@ -466,7 +641,16 @@ def build_segment(
 
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
-        runs.write.mode("overwrite").parquet(tmp_dir)
+        # segments land PARTITIONED BY term_bucket: finalize decomposes
+        # into per-bucket merge tasks (independent workers) that read
+        # only their own ``split_*/term_bucket=K`` directories —
+        # directory-level pruning instead of W× full-segment rescans
+        n_buckets = int(info["n_buckets"])
+        (runs.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+         .write.mode("overwrite").partitionBy("term_bucket")
+         .parquet(tmp_dir))
         if os.path.exists(seg_dir):
             shutil.rmtree(seg_dir)
         os.replace(tmp_dir, seg_dir)
@@ -510,103 +694,227 @@ def build_segment(
     return metrics
 
 
-def finalize_index(
-    spark: SparkSession,
-    index_dir: str,
-    info: dict,
-    salt_threshold: int = 1 << 20,
-    n_salts: int = 8,
-) -> dict:
-    """Phase C — exact stats from manifests, pure-Column run merge,
-    final layout. Idempotent. The only data moved is compressed blocks.
-    """
-    check_not_purged(index_dir, "finalize")
-    n_splits = info["n_splits"]
-    n_buckets = info["n_buckets"]
-    manifests = [M.read_split_manifest(index_dir, s) for s in range(n_splits)]
-    n_docs = sum(m["n_docs"] for m in manifests)
-    sum_dl = sum(m["sum_dl"] for m in manifests)
-    n_docs_tok = sum(m.get("n_docs_tokenized", m["n_docs"]) for m in manifests)
-    avgdl = sum_dl / n_docs if n_docs else 0.0
-
+def _split_from_offsets(info: dict):
+    """Column deriving a run's split from its doc range (splits own
+    contiguous id ranges)."""
     offsets = {int(k): v for k, v in info["split_offsets"].items()}
     off_arr = F.array(*[F.lit(offsets[s]) for s in sorted(offsets)])
-    # explicit dir list (not a glob): Spark probes glob paths for
-    # streaming-sink metadata and logs a spurious FileNotFound stack
-    # trace into the bench tail (VERDICT r1 "What's wrong" #7)
-    seg_dirs = sorted(
-        os.path.join(index_dir, "segments", d)
-        for d in os.listdir(os.path.join(index_dir, "segments"))
-        if d.startswith("split_")
-    )
-    segs = spark.read.parquet(*seg_dirs)
-    # derive split from the run's doc range (splits own contiguous ranges)
-    split_col = F.aggregate(
+    n_splits = info["n_splits"]
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(n_splits - 1)),
         F.lit(0),
         lambda acc, s: F.when(
             F.col("first_doc_id") >= F.element_at(off_arr, s + 1), s
         ).otherwise(acc),
     ).cast("int")
-    merged = (
-        segs.withColumn("split_id", split_col)
-        .withColumn("term_bucket",
-                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        .groupBy("term", "term_bucket", "split_id")
-        .agg(
-            F.sum("df_run").alias("df"),
-            F.sum("cf_run").alias("cf"),
-            F.min("first_doc_id").alias("first_doc_id"),
-            F.max("last_doc_id").alias("last_doc_id"),
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("first_doc_id", "blocks"))),
-                    lambda x: x["blocks"],
-                )
-            ).alias("blocks"),
+
+
+def _seg_bucket_paths(index_dir: str, buckets: list[int]) -> list[str]:
+    """Existing ``segments/split_*/term_bucket=K`` dirs for the given
+    buckets — the directory-level pruning a per-bucket merge task reads
+    through (explicit dirs, never globs: Spark probes glob paths for
+    streaming-sink metadata and logs spurious stack traces)."""
+    seg_root = os.path.join(index_dir, "segments")
+    if not os.path.isdir(seg_root):
+        return []
+    paths = []
+    for d in sorted(os.listdir(seg_root)):
+        if not d.startswith("split_"):
+            continue
+        for k in buckets:
+            p = os.path.join(seg_root, d, f"term_bucket={k}")
+            if os.path.isdir(p):
+                paths.append(p)
+    return paths
+
+
+def _replace_dir(dst: str, src: str | None) -> None:
+    """Move ``src`` into place at ``dst`` (drop dst if src is None —
+    the bucket/split produced no rows)."""
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    if src is not None and os.path.exists(src):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
+
+def finalize_reset(index_dir: str) -> None:
+    """Coordinator step before a (re-)finalize: clear previous finalize
+    outputs, task markers, and claims so the task fleet starts from a
+    clean slate. NOT run by workers — a worker joining late must not
+    wipe the markers of tasks already done."""
+    for sub in ("postings", "dict", "docs",
+                "postings_build", "dict_build", "docs_build"):
+        p = os.path.join(index_dir, sub)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    mdir = M.manifest_dir(index_dir)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if name.startswith(("fin_bucket_", "fin_docs_", "fclaim_")):
+                os.unlink(os.path.join(mdir, name))
+
+
+def finalize_postings_buckets(spark: SparkSession, index_dir: str,
+                              info: dict, buckets: list[int]) -> None:
+    """One finalize TASK: merge the given term buckets' runs across all
+    segments into ``postings/term_bucket=K`` + ``dict/term_bucket=K``.
+    Reads ONLY those buckets' segment directories. Tasks over disjoint
+    bucket sets have disjoint inputs, tmp dirs, outputs, and markers —
+    safe to run as independent worker processes (claim via
+    ``manifest.claim_task``); completion is the per-bucket marker."""
+    if not buckets:
+        return
+    check_not_purged(index_dir, "finalize")
+    n_splits = info["n_splits"]
+    manifests = [M.read_split_manifest(index_dir, s) for s in range(n_splits)]
+    n_docs = sum(m["n_docs"] for m in manifests)
+    task_id = f"b{min(buckets):04d}_{max(buckets):04d}"
+    tmp_post = os.path.join(index_dir, "postings_build", task_id)
+    tmp_dict = os.path.join(index_dir, "dict_build", task_id)
+    for p in (tmp_post, tmp_dict):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    metrics_by_bucket: dict[int, dict] = {}
+    paths = _seg_bucket_paths(index_dir, buckets)
+    if paths:
+        n_buckets = int(info["n_buckets"])
+        segs = spark.read.parquet(*paths)
+        merged = (
+            segs.withColumn("split_id", _split_from_offsets(info))
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+            .groupBy("term", "term_bucket", "split_id")
+            .agg(
+                F.sum("df_run").alias("df"),
+                F.sum("cf_run").alias("cf"),
+                F.min("first_doc_id").alias("first_doc_id"),
+                F.max("last_doc_id").alias("last_doc_id"),
+                F.flatten(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("first_doc_id", "blocks"))),
+                        lambda x: x["blocks"],
+                    )
+                ).alias("blocks"),
+            )
         )
-    )
-    (
-        merged.repartition("term_bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(os.path.join(index_dir, "postings"))
-    )
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    # dict/ partitioned on term_bucket so query-time lookups list only
-    # the buckets of the query terms (bucket computable driver-side via
-    # functions.xxhash.term_bucket — bit-identical to F.xxhash64)
-    write_dictionary(spark, postings, n_docs, index_dir)
+        (merged.repartition("term_bucket").sortWithinPartitions("term")
+         .write.mode("overwrite").partitionBy("term_bucket")
+         .parquet(tmp_post))
+        postings_task = spark.read.parquet(tmp_post)
+        write_dictionary(spark, postings_task, n_docs, index_dir,
+                         out=tmp_dict)
+        metrics_by_bucket = {
+            int(r["term_bucket"]): {
+                "n_rows": int(r["n_rows"]), "n_postings": int(r["n_post"]),
+                "n_terms": int(r["n_terms"])}
+            for r in postings_task.groupBy("term_bucket").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("df").alias("n_post"),
+                F.countDistinct("term").alias("n_terms")).collect()
+        }
+    for k in buckets:
+        src_p = os.path.join(tmp_post, f"term_bucket={k}")
+        src_d = os.path.join(tmp_dict, f"term_bucket={k}")
+        _replace_dir(os.path.join(index_dir, "postings",
+                                  f"term_bucket={k}"),
+                     src_p if os.path.exists(src_p) else None)
+        _replace_dir(os.path.join(index_dir, "dict", f"term_bucket={k}"),
+                     src_d if os.path.exists(src_d) else None)
+        M.write_task_marker(
+            index_dir, f"fin_bucket_{k:04d}",
+            metrics_by_bucket.get(
+                k, {"n_rows": 0, "n_postings": 0, "n_terms": 0}))
+    for p in (tmp_post, tmp_dict):
+        if os.path.exists(p):
+            shutil.rmtree(p)
 
-    # docs/: staged metadata + dl side tables (no-token docs → dl 0)
-    dl_dirs = sorted(
-        os.path.join(index_dir, "doc_dl", d)
-        for d in os.listdir(os.path.join(index_dir, "doc_dl"))
-        if d.startswith("split_")
-    )
-    dl_per_doc = spark.read.parquet(*dl_dirs).select("doc_id", "dl")
-    docs = (
-        spark.read.parquet(os.path.join(index_dir, "staged_corpus"))
-        .select("doc_id", "repo", "path", "commit", "lang",
-                "content_sha256", "split_id")
-        .join(dl_per_doc, "doc_id", "left")
-        .withColumn("dl", F.coalesce("dl", F.lit(0)).cast("long"))
-        .select("doc_id", "repo", "path", "commit", "lang", "dl",
-                "content_sha256", "split_id")
-    )
-    docs.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
-    merge_row = postings.agg(
-        F.count("*").alias("n_rows"),
-        F.sum("df").alias("n_postings"),
-    ).collect()[0]
-    n_terms = spark.read.parquet(os.path.join(index_dir, "dict")).count()
+def finalize_docs_splits(spark: SparkSession, index_dir: str,
+                         info: dict, splits: list[int]) -> None:
+    """One finalize TASK: materialize ``docs/split_id=N`` for the given
+    splits (staged metadata ⟕ dl side table; no-token docs → dl 0).
+    Disjoint splits → disjoint outputs/markers, worker-safe like the
+    bucket tasks."""
+    check_not_purged(index_dir, "finalize")
+    task_id = f"d{min(splits):04d}_{max(splits):04d}"
+    tmp = os.path.join(index_dir, "docs_build", task_id)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    nonempty = [s for s in splits
+                if info["split_counts"].get(str(s), 0) > 0]
+    if nonempty:
+        dl_dirs = [
+            os.path.join(index_dir, "doc_dl", f"split_{s:04d}")
+            for s in nonempty
+        ]
+        dl_dirs = [d for d in dl_dirs if os.path.isdir(d)]
+        staged = (
+            spark.read.parquet(os.path.join(index_dir, "staged_corpus"))
+            .where(F.col("split_id").isin(nonempty))
+            .select("doc_id", "repo", "path", "commit", "lang",
+                    "content_sha256", "split_id")
+        )
+        if dl_dirs:
+            dl_per_doc = spark.read.parquet(*dl_dirs).select("doc_id", "dl")
+            staged = staged.join(dl_per_doc, "doc_id", "left")
+        else:
+            staged = staged.withColumn("dl", F.lit(None).cast("long"))
+        docs = (
+            staged.withColumn("dl", F.coalesce("dl", F.lit(0)).cast("long"))
+            .select("doc_id", "repo", "path", "commit", "lang", "dl",
+                    "content_sha256", "split_id")
+        )
+        docs.write.mode("overwrite").partitionBy("split_id").parquet(tmp)
+    for s in splits:
+        src = os.path.join(tmp, f"split_id={s}")
+        _replace_dir(os.path.join(index_dir, "docs", f"split_id={s}"),
+                     src if os.path.exists(src) else None)
+        M.write_task_marker(
+            index_dir, f"fin_docs_{s:04d}",
+            {"n_docs": int(info["split_counts"].get(str(s), 0))})
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def finalize_commit(index_dir: str, info: dict,
+                    salt_threshold: int = 1 << 20,
+                    n_salts: int = 8) -> dict:
+    """Coordinator step after all finalize tasks: verify every bucket +
+    docs marker landed, then write stats.json / merge.json /
+    _INDEX_SUCCESS from the manifests and the tasks' recorded metrics
+    (buckets partition the term space, so per-bucket term counts SUM to
+    the global n_terms — no extra Spark job). Pure Python — no session
+    needed, so a shell coordinator can run it instantly."""
+    check_not_purged(index_dir, "finalize")
+    n_splits, n_buckets = info["n_splits"], info["n_buckets"]
+    missing = [f"fin_bucket_{k:04d}" for k in range(n_buckets)
+               if M.read_task_marker(index_dir, f"fin_bucket_{k:04d}")
+               is None]
+    missing += [f"fin_docs_{s:04d}" for s in range(n_splits)
+                if M.read_task_marker(index_dir, f"fin_docs_{s:04d}")
+                is None]
+    if missing:
+        raise RuntimeError(
+            f"finalize incomplete — {len(missing)} task(s) missing "
+            f"(first: {missing[:5]}); run the finalize workers to "
+            "completion (claims of crashed workers: release and re-run)")
+    manifests = [M.read_split_manifest(index_dir, s) for s in range(n_splits)]
+    n_docs = sum(m["n_docs"] for m in manifests)
+    sum_dl = sum(m["sum_dl"] for m in manifests)
+    n_docs_tok = sum(m.get("n_docs_tokenized", m["n_docs"])
+                     for m in manifests)
+    bucket_metrics = [M.read_task_marker(index_dir, f"fin_bucket_{k:04d}")
+                      for k in range(n_buckets)]
     stats = {
         "format": 2,  # 2 = per-posting dl (+optional positions) in blocks
         "n_docs": n_docs,
         "n_docs_tokenized": n_docs_tok,
-        "avgdl": avgdl,
+        "avgdl": sum_dl / n_docs if n_docs else 0.0,
         "n_splits": n_splits,
         "n_buckets": n_buckets,
         "tokenizer": info["tokenizer"],
@@ -618,10 +926,11 @@ def finalize_index(
     }
     _write_json_atomic(_stats_path(index_dir), stats)
     merge_metrics = {
-        "n_terms": int(n_terms),
-        "n_posting_rows": int(merge_row["n_rows"] or 0),
-        "n_postings": int(merge_row["n_postings"] or 0),
-        "compressed_bytes": sum(m.get("compressed_bytes", 0) for m in manifests),
+        "n_terms": sum(b["n_terms"] for b in bucket_metrics),
+        "n_posting_rows": sum(b["n_rows"] for b in bucket_metrics),
+        "n_postings": sum(b["n_postings"] for b in bucket_metrics),
+        "compressed_bytes": sum(m.get("compressed_bytes", 0)
+                                for m in manifests),
         "salt_threshold": salt_threshold,
         "n_salts": n_salts,
     }
@@ -630,6 +939,33 @@ def finalize_index(
     with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
         json.dump(merge_metrics, f)
     return stats
+
+
+def finalize_index(
+    spark: SparkSession,
+    index_dir: str,
+    info: dict,
+    salt_threshold: int = 1 << 20,
+    n_salts: int = 8,
+) -> dict:
+    """Phase C — exact stats from manifests, pure-Column run merge,
+    final layout. Idempotent. The only data moved is compressed blocks.
+
+    Single-process shape of the decomposed finalize: one merge job over
+    ALL buckets + one docs job over ALL splits + the pure-Python
+    commit. A multi-executor fleet runs the same three pieces as
+    independent claimed tasks instead (``jobs/build_worker.py --phase
+    finalize`` per worker, then ``finalize_commit``) — so finalize
+    throughput scales with workers exactly like the segment phase.
+    """
+    check_not_purged(index_dir, "finalize")
+    finalize_reset(index_dir)
+    finalize_postings_buckets(spark, index_dir, info,
+                              list(range(info["n_buckets"])))
+    finalize_docs_splits(spark, index_dir, info,
+                         list(range(info["n_splits"])))
+    return finalize_commit(index_dir, info,
+                           salt_threshold=salt_threshold, n_salts=n_salts)
 
 
 def purge_deleted(spark: SparkSession, index_dir: str) -> dict:

@@ -61,6 +61,41 @@ def pending_splits(index_dir: str, n_splits: int) -> list[int]:
     return [s for s in range(n_splits) if s not in done]
 
 
+def write_task_marker(index_dir: str, name: str, payload: dict) -> None:
+    """Atomic done-marker for a named build task (sharded stage /
+    finalize tasks) — same tmp→rename discipline as split manifests."""
+    os.makedirs(manifest_dir(index_dir), exist_ok=True)
+    path = os.path.join(manifest_dir(index_dir), f"{name}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"task": name, "status": "done", **payload}, f, indent=1)
+    os.replace(tmp, path)
+
+
+def read_task_marker(index_dir: str, name: str) -> dict | None:
+    path = os.path.join(manifest_dir(index_dir), f"{name}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def claim_task(index_dir: str, claim_name: str, owner: str) -> bool:
+    """Atomic advisory claim on a named task (``O_CREAT|O_EXCL``) — the
+    generic form of :func:`claim_split`, used by the sharded stage and
+    finalize fleets (claim names ``sclaim_*`` / ``fclaim_*``). Claims
+    schedule; the task marker is the completion truth."""
+    os.makedirs(manifest_dir(index_dir), exist_ok=True)
+    path = os.path.join(manifest_dir(index_dir), claim_name)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    os.write(fd, owner.encode())
+    os.close(fd)
+    return True
+
+
 def claim_split(index_dir: str, split_id: int, owner: str) -> bool:
     """Dynamic work-stealing for multi-worker builds: atomically claim a
     pending split via ``O_CREAT|O_EXCL`` on

@@ -19,7 +19,9 @@ import sys
 
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--src", required=True, help="corpus table path/identifier")
+    p.add_argument("--src", default=None,
+                   help="corpus table path/identifier (not needed for "
+                        "the coordinator bookkeeping steps)")
     p.add_argument("--fmt", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--out", required=True, help="index output directory")
     p.add_argument("--splits", type=int, default=16)
@@ -36,26 +38,78 @@ def main(argv: list[str]) -> int:
     p.add_argument("--drop-staged", action="store_true",
                    help="delete the staged corpus copy after finalize")
     p.add_argument("--stage-only", action="store_true",
-                   help="phase A only — then fan segment work out to "
-                        "jobs/build_worker.py processes")
+                   help="phase A only (single job) — then fan segment "
+                        "work out to jobs/build_worker.py processes")
+    p.add_argument("--plan-only", action="store_true",
+                   help="phase A coordinator plan only — then fan the "
+                        "staging itself out to build_worker.py "
+                        "--phase stage processes")
+    p.add_argument("--stage-commit", action="store_true",
+                   help="freeze staging.json after all stage workers "
+                        "finished")
     p.add_argument("--finalize-only", action="store_true",
-                   help="phase C only — after all workers finished")
+                   help="phase C only, single process — after all "
+                        "segment workers finished")
+    p.add_argument("--finalize-reset", action="store_true",
+                   help="clear finalize outputs/markers/claims before "
+                        "a finalize worker fleet")
+    p.add_argument("--finalize-commit", action="store_true",
+                   help="write stats/merge/_INDEX_SUCCESS after all "
+                        "finalize workers finished")
     args = p.parse_args(argv)
+
+    import json
 
     from pyspark.sql import SparkSession
 
     from datastream_io_spark.operators.build import (
         build_index,
         drop_staged_corpus,
+        finalize_commit,
         finalize_index,
+        finalize_reset,
+        stage_commit,
         stage_corpus,
+        stage_plan,
     )
+
+    # the coordinator bookkeeping steps are pure Python — no session
+    if args.stage_commit:
+        with open(f"{args.out}/staging_plan.json") as f:
+            plan = json.load(f)
+        info = stage_commit(args.out, plan)
+        print(f"staging frozen: n_docs={info['n_docs']}")
+        return 0
+    if args.finalize_reset:
+        finalize_reset(args.out)
+        print("finalize state reset")
+        return 0
+    if args.finalize_commit:
+        with open(f"{args.out}/staging.json") as f:
+            info = json.load(f)
+        stats = finalize_commit(args.out, info,
+                                salt_threshold=args.salt_threshold,
+                                n_salts=args.salts)
+        print(f"finalized: n_docs={stats['n_docs']} "
+              f"avgdl={stats['avgdl']:.3f}")
+        return 0
+
     from datastream_io_spark.sources.scan import scan_corpus
+
+    if not args.src and not args.finalize_only:
+        p.error("--src is required for staging/build phases")
 
     # under spark-submit the session config comes from the submit command;
     # getOrCreate attaches to it rather than re-configuring
     spark = SparkSession.builder.appName("build_index").getOrCreate()
-    corpus = scan_corpus(spark, args.src, args.fmt)
+    corpus = scan_corpus(spark, args.src, args.fmt) if args.src else None
+    if args.plan_only:
+        plan = stage_plan(spark, corpus, args.out, args.splits,
+                          args.buckets, args.tokenizer,
+                          positions=args.positions)
+        print(f"planned: n_docs={plan['n_docs']} "
+              f"splits={plan['n_splits']}")
+        return 0
     if args.stage_only:
         info = stage_corpus(spark, corpus, args.out, args.splits,
                             args.buckets, args.tokenizer,

@@ -1,24 +1,47 @@
 """spark-submit worker for a multi-process (multi-"executor") index
-build: workers build segments against a SHARED index directory. By
-default each worker CLAIMS pending splits dynamically (atomic
-``manifest/claim_NNNN`` markers) so a fast worker steals the tail a
-static assignment would leave idle on a straggler; ``--workers W
---worker-id i`` switches to the static ``split % W == i`` partition
-(useful when workers must not touch each other's claim files). The
-per-split manifests make both safe (disjoint inputs and outputs,
-atomic rename + manifest per split), so a fleet of these workers IS
-the "N executors" story — locally as separate JVM processes, on a
-cluster as separate spark-submit applications.
+build. EVERY phase of the build fans out to a fleet of these workers
+against a SHARED index directory, so on a real cluster all three
+phases scale with executor count:
 
-    # stage once (any worker or the coordinator):
-    spark-submit --py-files engine.zip jobs/build_index.py --stage-only ...
-    # then in parallel, e.g. 4 workers:
+  --phase stage     claim + stage corpus splits (after the coordinator
+                    wrote staging_plan.json via build_index.py
+                    --plan-only); finish with --stage-commit
+  --phase segments  claim + build index segments (the default; after
+                    staging is frozen)
+  --phase finalize  claim + run per-term-bucket postings/dict merge
+                    tasks and per-split docs tasks (after the
+                    coordinator ran build_index.py --finalize-reset);
+                    finish with --finalize-commit
+
+By default each worker CLAIMS pending tasks dynamically (atomic
+``manifest/*claim*`` markers) so a fast worker steals the tail a
+static assignment would leave idle on a straggler; ``--workers W
+--worker-id i`` switches the segments phase to the static
+``split % W == i`` partition. The per-task manifests make both safe
+(disjoint inputs and outputs, atomic rename + marker per task), so a
+fleet of these workers IS the "N executors" story — locally as
+separate JVM processes, on a cluster as separate spark-submit
+applications.
+
+    # plan once, then stage in parallel, e.g. 4 workers:
+    spark-submit --py-files engine.zip jobs/build_index.py --plan-only ...
     for i in 0 1 2 3; do
       spark-submit --py-files engine.zip jobs/build_worker.py \
-          --index /data/index --workers 4 --worker-id $i &
+          --index /data/index --phase stage --src /data/corpus &
     done; wait
-    # finalize once:
-    spark-submit --py-files engine.zip jobs/build_index.py --finalize-only ...
+    spark-submit --py-files engine.zip jobs/build_index.py --stage-commit ...
+    # segments in parallel:
+    for i in 0 1 2 3; do
+      spark-submit --py-files engine.zip jobs/build_worker.py \
+          --index /data/index &
+    done; wait
+    # finalize in parallel:
+    spark-submit --py-files engine.zip jobs/build_index.py --finalize-reset ...
+    for i in 0 1 2 3; do
+      spark-submit --py-files engine.zip jobs/build_worker.py \
+          --index /data/index --phase finalize &
+    done; wait
+    spark-submit --py-files engine.zip jobs/build_index.py --finalize-commit ...
 """
 
 from __future__ import annotations
@@ -28,12 +51,57 @@ import json
 import sys
 
 
+def _pull_concurrently(mine, run, concurrency: int) -> list:
+    """Drain a lazily-claiming iterator from ``concurrency`` puller
+    threads. NOT Executor.map: that drains the iterable eagerly, which
+    would claim every pending task up front and forfeit stealing."""
+    built: list = []
+    if concurrency <= 1:
+        for t in mine:
+            built.append(run(t))
+        return built
+    import threading
+
+    it_lock = threading.Lock()
+    errors: list[BaseException] = []
+
+    def puller() -> None:
+        while True:
+            with it_lock:
+                t = next(mine, None)
+            if t is None:
+                return
+            try:
+                built.append(run(t))
+            except BaseException as exc:  # propagate to main thread
+                errors.append(exc)
+                return
+
+    threads = [threading.Thread(target=puller)
+               for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        # a swallowed task failure must not exit 0: the commit would
+        # fail later on the missing marker, far from the cause
+        raise errors[0]
+    return built
+
+
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", required=True)
+    p.add_argument("--phase", default="segments",
+                   choices=["stage", "segments", "finalize"])
+    p.add_argument("--src", default=None,
+                   help="corpus path (required for --phase stage)")
+    p.add_argument("--fmt", default="parquet",
+                   choices=["parquet", "iceberg"])
     p.add_argument("--workers", type=int, default=None,
-                   help="static split%%W assignment (with --worker-id); "
-                        "default: dynamic claiming")
+                   help="static split%%W assignment (with --worker-id, "
+                        "segments phase only); default: dynamic claiming")
     p.add_argument("--worker-id", type=int, default=0)
     p.add_argument("--salt-threshold", type=int, default=1 << 20)
     p.add_argument("--salts", type=int, default=8)
@@ -48,18 +116,78 @@ def main(argv: list[str]) -> int:
 
     from pyspark.sql import SparkSession
 
-    from datastream_io_spark.operators.build import build_segment
     from datastream_io_spark.sources.manifest import (
-        claim_split, pending_splits, release_claims)
+        claim_split,
+        claim_task,
+        pending_splits,
+        read_task_marker,
+        release_claims,
+    )
 
     spark = SparkSession.builder.appName(
         f"build_worker_{args.worker_id}").getOrCreate()
+    owner = f"worker_{args.worker_id}_pid{__import__('os').getpid()}"
+
+    if args.phase == "stage":
+        from datastream_io_spark.operators.build import stage_split
+        from datastream_io_spark.sources.scan import scan_corpus
+
+        if not args.src:
+            p.error("--phase stage requires --src")
+        with open(f"{args.index}/staging_plan.json") as f:
+            plan = json.load(f)
+        corpus = scan_corpus(spark, args.src, args.fmt)
+        mine = (s for s in range(plan["n_splits"])
+                if read_task_marker(args.index, f"stage_{s:04d}") is None
+                and claim_task(args.index, f"sclaim_{s:04d}", owner))
+        built = _pull_concurrently(
+            mine, lambda s: (stage_split(spark, corpus, args.index, s,
+                                         plan), s)[1],
+            args.concurrency)
+        print(f"stage worker: staged {len(built)} splits {sorted(built)}")
+        return 0
+
+    if args.phase == "finalize":
+        from datastream_io_spark.operators.build import (
+            finalize_docs_splits,
+            finalize_postings_buckets,
+        )
+
+        with open(f"{args.index}/staging.json") as f:
+            info = json.load(f)
+
+        def run_task(task):
+            kind, i = task
+            if kind == "b":
+                finalize_postings_buckets(spark, args.index, info, [i])
+            else:
+                finalize_docs_splits(spark, args.index, info, [i])
+            return task
+
+        tasks = (
+            [("b", k) for k in range(info["n_buckets"])]
+            + [("d", s) for s in range(info["n_splits"])]
+        )
+        mine = (
+            t for t in tasks
+            if read_task_marker(
+                args.index,
+                f"fin_bucket_{t[1]:04d}" if t[0] == "b"
+                else f"fin_docs_{t[1]:04d}") is None
+            and claim_task(args.index, f"fclaim_{t[0]}{t[1]:04d}", owner)
+        )
+        built = _pull_concurrently(mine, run_task, args.concurrency)
+        print(f"finalize worker: ran {len(built)} tasks")
+        return 0
+
+    # --phase segments (default)
+    from datastream_io_spark.operators.build import build_segment
+
     with open(f"{args.index}/staging.json") as f:
         info = json.load(f)
     if args.release_claims:
         n_rel = release_claims(args.index)
         print(f"released {n_rel} stale claims")
-    owner = f"worker_{args.worker_id}_pid{__import__('os').getpid()}"
     pending = pending_splits(args.index, info["n_splits"])
     if args.workers is not None:
         mine = iter([s for s in pending
@@ -75,41 +203,7 @@ def main(argv: list[str]) -> int:
                       n_salts=args.salts)
         return split_id
 
-    built = []
-    if args.concurrency <= 1:
-        for s in mine:
-            built.append(run(s))
-    else:
-        # NOT Executor.map: it drains the iterable eagerly, which would
-        # claim every pending split up front and forfeit stealing —
-        # puller threads take the next (claimed) split only when free
-        import threading
-
-        it_lock = threading.Lock()
-        errors: list[BaseException] = []
-
-        def puller() -> None:
-            while True:
-                with it_lock:
-                    s = next(mine, None)
-                if s is None:
-                    return
-                try:
-                    built.append(run(s))
-                except BaseException as exc:  # propagate to main thread
-                    errors.append(exc)
-                    return
-
-        threads = [threading.Thread(target=puller)
-                   for _ in range(args.concurrency)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        if errors:
-            # a swallowed split failure must not exit 0: finalize would
-            # crash later on the missing manifest, far from the cause
-            raise errors[0]
+    built = _pull_concurrently(mine, run, args.concurrency)
     mode = ("dynamic" if args.workers is None
             else f"static {args.worker_id}/{args.workers}")
     print(f"worker[{mode}]: built {len(built)} splits {sorted(built)}")

@@ -83,3 +83,126 @@ def test_dynamic_claims_disjoint_and_complete(spark, tmp_path):
     build_index(spark, corpus, single, n_splits=4, n_buckets=8,
                 tokenizer="simple", salt_threshold=50, n_salts=4)
     assert _fingerprint(spark, multi) == _fingerprint(spark, single)
+
+
+def test_sharded_stage_equals_monolithic(spark, tmp_path):
+    """Sharded phase A (plan → per-split worker tasks → commit) must
+    stage byte-equal rows with IDENTICAL doc ids to the single-job
+    stage_corpus — ids are frozen forever, so the two paths can never
+    be allowed to drift."""
+    from datastream_io_spark.operators.build import (
+        stage_commit, stage_plan, stage_split)
+    from datastream_io_spark.sources.manifest import claim_task
+
+    corpus = documents_as_corpus(spark, SF0001)
+    mono, shard = str(tmp_path / "mono"), str(tmp_path / "shard")
+    info_m = stage_corpus(spark, corpus, mono, 4, 8, "simple")
+
+    plan = stage_plan(spark, corpus, shard, 4, 8, "simple")
+    assert plan["split_counts"] == info_m["split_counts"]
+    assert plan["split_offsets"] == info_m["split_offsets"]
+    # two "workers" claim splits dynamically; claims are exclusive
+    assert claim_task(shard, "sclaim_0000", "w0") is True
+    assert claim_task(shard, "sclaim_0000", "w1") is False
+    for s in range(4):
+        stage_split(spark, corpus, shard, s, plan)
+    info_s = stage_commit(shard, plan)
+    assert info_s == info_m
+
+    cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha256"]
+
+    def staged_rows(idx):
+        return sorted(
+            tuple(r[c] for c in cols) for r in
+            spark.read.parquet(f"{idx}/staged_corpus").select(cols).collect())
+
+    assert staged_rows(mono) == staged_rows(shard)
+    # re-running a staged split is a no-op (marker short-circuit)
+    stage_split(spark, corpus, shard, 0, plan)
+    assert staged_rows(mono) == staged_rows(shard)
+
+
+def test_parallel_finalize_tasks_equal_single(spark, tmp_path):
+    """Decomposed finalize (per-bucket postings/dict tasks + per-split
+    docs tasks + pure-Python commit), run task-by-task in scrambled
+    order like a worker fleet would, lands an index byte-identical to
+    the one-shot finalize_index."""
+    import json
+
+    from datastream_io_spark.operators.build import (
+        finalize_commit,
+        finalize_docs_splits,
+        finalize_postings_buckets,
+        finalize_reset,
+    )
+
+    corpus = documents_as_corpus(spark, SF0001)
+    fleet, single = str(tmp_path / "fleet"), str(tmp_path / "single3")
+    info = stage_corpus(spark, corpus, fleet, 3, 8, "simple")
+    for s in range(3):
+        build_segment(spark, fleet, s, info, salt_threshold=50, n_salts=4)
+    finalize_reset(fleet)
+    # commit must refuse while tasks are missing
+    try:
+        finalize_commit(fleet, info)
+        raise AssertionError("commit accepted an incomplete finalize")
+    except RuntimeError as e:
+        assert "incomplete" in str(e)
+    # scrambled task order, one task per call — the fleet shape
+    for k in (5, 0, 7, 2, 1, 6, 3, 4):
+        finalize_postings_buckets(spark, fleet, info, [k])
+    for s in (2, 0, 1):
+        finalize_docs_splits(spark, fleet, info, [s])
+    stats = finalize_commit(fleet, info, salt_threshold=50, n_salts=4)
+
+    build_index(spark, corpus, single, n_splits=3, n_buckets=8,
+                tokenizer="simple", salt_threshold=50, n_salts=4)
+    assert _fingerprint(spark, fleet) == _fingerprint(spark, single)
+    with open(f"{single}/stats.json") as f:
+        stats_single = json.load(f)
+    assert stats == stats_single
+
+    def dict_rows(idx):
+        return sorted(
+            (r["term"], int(r["df"]), int(r["cf"]), float(r["idf"]))
+            for r in spark.read.parquet(f"{idx}/dict").collect())
+
+    assert dict_rows(fleet) == dict_rows(single)
+    with open(f"{fleet}/manifest/merge.json") as f:
+        m_fleet = json.load(f)
+    with open(f"{single}/manifest/merge.json") as f:
+        m_single = json.load(f)
+    m_single.pop("phase_sec", None)  # wall-clock bookkeeping, not lineage
+    assert m_fleet == m_single
+
+    # answers identical at the search surface too
+    from datastream_io_spark.operators.indexed_search import search_indexed
+    a = [(r.doc_id, r.score) for r in
+         search_indexed(spark, fleet, "window agg", 10, "or").collect()]
+    b = [(r.doc_id, r.score) for r in
+         search_indexed(spark, single, "window agg", 10, "or").collect()]
+    assert a == b
+
+
+def test_empty_splits_build_and_search(spark, tmp_path):
+    """n_splits far above the doc spread leaves some splits EMPTY —
+    they must write no segment/dl dirs, and finalize + search must be
+    unaffected."""
+    corpus = documents_as_corpus(spark, SF0001).limit(7)
+    idx = str(tmp_path / "sparse")
+    build_index(spark, corpus, idx, n_splits=16, n_buckets=8,
+                tokenizer="simple", salt_threshold=50, n_salts=4)
+    import json
+    import os
+
+    with open(f"{idx}/staging.json") as f:
+        info = json.load(f)
+    empty = [s for s in range(16)
+             if info["split_counts"].get(str(s), 0) == 0]
+    assert empty, "fixture unexpectedly filled all 16 splits"
+    for s in empty:
+        assert not os.path.exists(f"{idx}/segments/split_{s:04d}")
+    from datastream_io_spark.operators.indexed_search import search_indexed
+    docs = spark.read.parquet(f"{idx}/docs")
+    assert docs.count() == 7
+    assert search_indexed(spark, idx, "window", 5, "or").count() >= 0
