@@ -52,7 +52,9 @@ from datastream_io_spark.operators.indexed_search import (
     _exact_scores,
     _phrase_filter,
     _restrict_to_term,
-    _tombstones_broadcast,
+    _tombstone_state,
+    _tv_from,
+    _with_tomb,
     global_topk,
     postings_rows,
 )
@@ -328,12 +330,14 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
             & F.col("term").isin(sorted(positives))).collect()
     }
 
-    prows = postings_rows(spark, index_dir, buckets, sorted(all_terms))
-    tomb = _tombstones_broadcast(spark, index_dir)
+    tomb, tomb_join = _tombstone_state(spark, index_dir)
+    prows = _with_tomb(
+        postings_rows(spark, index_dir, buckets, sorted(all_terms)),
+        tomb_join)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
-        tv = tomb.value if tomb is not None else None
+        tv = _tv_from(pdf, tomb)
         return score_tree_split(tree, idf, avgdl, k, blocks_of, {}, tv)
 
     cand = prows.groupBy("split_id").applyInPandas(

@@ -746,6 +746,25 @@ def _compact_stream_index_locked(spark: SparkSession, index_dir: str,
     _swap_in(os.path.join(index_dir, "postings"), tmp)
     _swap_in(docs_path, docs_tmp)
 
+    # range-partitioned tombstones are keyed by split — remap them with
+    # the same group map or the big-set query path (per-split join)
+    # would attach deleted ids to split ids that no longer exist
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    _repair_swap(tomb_dir)
+    if os.path.exists(tomb_dir):
+        tomb = spark.read.parquet(tomb_dir)
+        if "split_id" in tomb.columns:
+            tomb_tmp = tomb_dir + "_compact_tmp"
+            if os.path.exists(tomb_tmp):
+                shutil.rmtree(tomb_tmp)
+            (tomb.withColumn(
+                "split_id",
+                F.coalesce(F.element_at(map_expr, F.col("split_id")),
+                           F.col("split_id")).cast("int"))
+             .repartition("split_id").write.mode("overwrite")
+             .partitionBy("split_id").parquet(tomb_tmp))
+            _swap_in(tomb_dir, tomb_tmp)
+
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     stats["n_splits"] = target_splits
