@@ -228,11 +228,19 @@ def _pos_index(spark, sf_dir: str) -> str:
     from datastream_io_spark.sources.scan import documents_as_corpus
 
     if sf_dir not in _POS_INDEX_CACHE:
+        from datastream_io_spark.operators.dictindex import (
+            build_term_sidecars,
+        )
+
         idx = _dq_tmpdir("dq_posindex_")
         build_index(spark, documents_as_corpus(spark, sf_dir), idx,
                     n_splits=4, n_buckets=8, tokenizer="simple",
                     salt_threshold=100, n_salts=4, positions=True,
                     source_desc=f"{sf_dir}/documents.parquet")
+        # expansion sidecars: the wildcard/fuzzy/suggest dq entries then
+        # exercise the dictionary-scale paths (dict_sorted range scan,
+        # gram count filter) against the same DuckDB oracles
+        build_term_sidecars(spark, idx)
         _POS_INDEX_CACHE[sf_dir] = idx
     return _POS_INDEX_CACHE[sf_dir]
 

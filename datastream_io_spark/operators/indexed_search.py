@@ -1058,11 +1058,15 @@ def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
     row groups outside the prefix range are skipped via min/max stats);
     TakeOrderedAndProject cuts the top-k. Ties break lexicographically
     for determinism."""
+    from datastream_io_spark.operators.dictindex import prefix_expansion_df
+
     prefix = prefix.lower()
-    d = spark.read.parquet(os.path.join(index_dir, "dict"))
+    hits = prefix_expansion_df(spark, index_dir, prefix)
+    if hits is None:
+        d = spark.read.parquet(os.path.join(index_dir, "dict"))
+        hits = d.where(F.col("term").startswith(prefix))
     return (
-        d.where(F.col("term").startswith(prefix))
-        .select("term", "df")
+        hits.select("term", "df")
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
@@ -1077,18 +1081,25 @@ def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
     rewrite: a doc's score is the sum of its matching expansions'
     BM25 contributions, MaxScore pruning included for free).
 
-    Expansion is ONE dict/ scan with a StartsWith predicate pushed into
-    parquet (term-sorted row groups skip via min/max stats — the
-    suggest_terms trick), capped at the ``max_expansions`` highest-df
-    terms (df desc, term asc — deterministic). A hit of the cap is the
-    documented approximation at 10^12-file scale: the dropped
-    expansions are the rarest, i.e. the smallest score mass."""
+    Expansion reads the term-RANGE-partitioned ``dict_sorted/``
+    companion when present and fresh (build_term_sidecars): the pushed
+    StartsWith predicate then skips every file whose term range misses
+    the prefix — footer-only I/O outside the prefix's range files, the
+    dictionary-scale path. Otherwise ONE dict/ scan with the predicate
+    pushed into parquet (row groups within each bucket file skip via
+    min/max stats). Either way the cap keeps the ``max_expansions``
+    highest-df terms (df desc, term asc — deterministic); a hit of the
+    cap is the documented approximation at 10^12-file scale: the
+    dropped expansions are the rarest, i.e. the smallest score mass."""
+    from datastream_io_spark.operators.dictindex import prefix_expansion_df
+
     prefix = prefix.lower().rstrip("*")
     if not prefix:
         return _empty_topk(spark, with_doc_cols)
     return _expansion_or_topk(
         spark, index_dir, F.col("term").startswith(prefix),
-        k, max_expansions, with_doc_cols)
+        k, max_expansions, with_doc_cols,
+        expansion_df=prefix_expansion_df(spark, index_dir, prefix))
 
 
 def search_fuzzy(spark: SparkSession, index_dir: str, term: str,
@@ -1099,16 +1110,33 @@ def search_fuzzy(spark: SparkSession, index_dir: str, term: str,
     OR-mode BM25 kernel over the expansions (same multi-term rewrite
     as Q18; a doc matching several variants sums their contributions).
 
-    Expansion is ONE dict/ scan: an EXACT length-band prune
-    (``|len(t) − len(q)| ≤ max_dist`` — no true match can violate it)
-    feeds the JVM ``levenshtein(col, lit, threshold)`` primitive
-    (whole-stage codegen, early-exit at the threshold; no UDF), so at
-    10^12-file dict scale the distance computation stays distributed
-    and bounded. Cap semantics match Q18: highest-df expansions kept,
+    Expansion prefers the ``dict_ngrams/`` gram sidecar when present
+    and fresh (build_term_sidecars): the Gravano-style positional
+    q-gram count filter reads ONLY the query grams' bucket directories
+    — a bounded slice at any dictionary size — then verifies survivors
+    with the JVM levenshtein. Sound, so results are identical to the
+    full scan. Without the sidecar (or for queries too short to prune,
+    ``len(q) < 3 + 3·max_dist``): ONE dict/ scan where an EXACT
+    length-band prune (``|len(t) − len(q)| ≤ max_dist`` — no true
+    match can violate it) feeds the JVM ``levenshtein(col, lit,
+    threshold)`` primitive (whole-stage codegen, early-exit at the
+    threshold; no UDF), so the distance computation stays distributed.
+    Cap semantics match Q18: highest-df expansions kept,
     deterministically."""
+    from datastream_io_spark.operators.dictindex import (
+        fuzzy_expansion_rows,
+    )
+
     q = _fuzzy_term(term)
     if not q:
         return _empty_topk(spark, with_doc_cols)
+    rows = fuzzy_expansion_rows(spark, index_dir, q, max_dist,
+                                max_expansions)
+    if rows is not None:
+        stats = read_stats(index_dir)
+        _check_format(stats, index_dir)
+        return _or_topk_from_rows(spark, index_dir, stats, rows, k,
+                                  with_doc_cols)
     lo, hi = max(1, len(q) - max_dist), len(q) + max_dist
     cond = (F.length("term").between(lo, hi)
             & (F.levenshtein(F.col("term"), F.lit(q), max_dist) >= 0))
@@ -1127,17 +1155,28 @@ def _empty_topk(spark: SparkSession, with_doc_cols: bool) -> DataFrame:
 
 def _expansion_or_topk(spark: SparkSession, index_dir: str, dict_cond,
                        k: int, max_expansions: int,
-                       with_doc_cols: bool) -> DataFrame:
+                       with_doc_cols: bool,
+                       expansion_df: DataFrame | None = None) -> DataFrame:
     """Shared tail of the multi-term rewrites (wildcard Q18, fuzzy
-    Q20): dict/ scan under ``dict_cond`` → top-``max_expansions`` by
+    Q20): expansion scan (``expansion_df`` when a sidecar provides it,
+    else dict/ under ``dict_cond``) → top-``max_expansions`` by
     (df desc, term asc) → OR-mode BM25 via the normal pruned kernel."""
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
-    d = spark.read.parquet(os.path.join(index_dir, "dict"))
-    rows = (d.where(dict_cond)
+    if expansion_df is None:
+        expansion_df = spark.read.parquet(
+            os.path.join(index_dir, "dict")).where(dict_cond)
+    rows = (expansion_df
             .select("term", "df", "idf", "term_bucket")
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions).collect())
+    return _or_topk_from_rows(spark, index_dir, stats, rows, k,
+                              with_doc_cols)
+
+
+def _or_topk_from_rows(spark: SparkSession, index_dir: str, stats: dict,
+                       rows: list, k: int,
+                       with_doc_cols: bool) -> DataFrame:
     if not rows:
         return _empty_topk(spark, with_doc_cols)
     idf = {r["term"]: float(r["idf"]) for r in rows}

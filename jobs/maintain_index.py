@@ -6,6 +6,8 @@ physical purge, and stream-index compaction.
     ... delete --doc-ids 17 42 99
     ... purge
     ... compact --target-splits 8        # streaming indexes
+    ... merge                            # fold new staged stream batches
+    ... sidecars                         # (re)build dict_sorted + dict_ngrams
 """
 
 from __future__ import annotations
@@ -32,6 +34,13 @@ def main(argv: list[str]) -> int:
                                        "STREAMING index into coarse splits")
     c.add_argument("--target-splits", type=int, required=True)
 
+    sub.add_parser("merge", help="incremental finalize: fold only NEW "
+                                 "staged stream batches into the index "
+                                 "(O(new data))")
+    sub.add_parser("sidecars", help="(re)build the wildcard/fuzzy "
+                                    "expansion sidecars (dict_sorted + "
+                                    "dict_ngrams)")
+
     args = p.parse_args(argv)
     if args.cmd == "delete" and bool(args.doc_ids) == bool(args.where):
         p.error("delete needs exactly one of --doc-ids (non-empty) / --where")
@@ -51,13 +60,30 @@ def main(argv: list[str]) -> int:
 
         stats = purge_deleted(spark, args.index)
         print(f"purged: n_docs={stats['n_docs']} avgdl={stats['avgdl']:.3f}")
-    else:
+    elif args.cmd == "compact":
         from datastream_io_spark.streaming.incremental import (
             compact_stream_index,
         )
 
         stats = compact_stream_index(spark, args.index, args.target_splits)
         print(f"compacted to n_splits={stats['n_splits']}")
+    elif args.cmd == "merge":
+        from datastream_io_spark.streaming.incremental import (
+            merge_stream_batches,
+        )
+
+        stats = merge_stream_batches(spark, args.index)
+        print(f"merged: n_docs={stats['n_docs']} "
+              f"n_splits={stats['n_splits']}")
+    else:
+        from datastream_io_spark.operators.dictindex import (
+            build_term_sidecars,
+        )
+
+        meta = build_term_sidecars(spark, args.index)
+        print(f"sidecars built: n_terms={meta['n_terms']} "
+              f"range_parts={meta['n_range_parts']} "
+              f"gram_buckets={meta['n_gram_buckets']}")
     return 0
 
 

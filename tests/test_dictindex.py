@@ -1,0 +1,183 @@
+"""Dictionary-scale expansion sidecars (VERDICT r3 Missing #2):
+dict_sorted (prefix range scan) and dict_ngrams (positional-multiset
+q-gram count filter). Contracts: results IDENTICAL to the full
+dictionary scans, bounded reads (gram-bucket partition pruning,
+StartsWith pushdown on the range files), sound on repeated-gram terms
+(where a distinct-set count filter would falsely prune), and stale
+sidecars fall back with a warning after the dictionary changes."""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datastream_io_spark.operators.build import build_index
+from datastream_io_spark.operators.dictindex import (
+    GRAM_N,
+    build_term_sidecars,
+    fuzzy_candidates_df,
+    fuzzy_expansion_rows,
+    prefix_expansion_df,
+)
+from datastream_io_spark.operators.indexed_search import (
+    _levenshtein_leq,
+    search_fuzzy,
+    search_wildcard,
+    suggest_terms,
+)
+from datastream_io_spark.plans import scan_info
+from datastream_io_spark.sources.scan import documents_as_corpus
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def sidecar_index(spark, tmp_path_factory):
+    """A documents index WITH sidecars, next to the sidecar-less shared
+    doc_index (which keeps exercising the fallback paths)."""
+    idx = str(tmp_path_factory.mktemp("sidecar_idx"))
+    build_index(spark, documents_as_corpus(spark, SF0001), idx,
+                n_splits=3, n_buckets=8, tokenizer="simple",
+                salt_threshold=50, n_salts=4)
+    meta = build_term_sidecars(spark, idx)
+    assert meta["n_terms"] > 0
+    return idx
+
+
+def _topk(spark, df):
+    return [(r.doc_id, round(r.score, 9)) for r in df.collect()]
+
+
+def test_wildcard_and_suggest_parity_with_fallback(spark, doc_index,
+                                                   sidecar_index):
+    """Sidecar answers == base-dictionary answers (the two indexes are
+    built identically from the same corpus)."""
+    assert prefix_expansion_df(spark, sidecar_index, "s") is not None
+    assert prefix_expansion_df(spark, doc_index, "s") is None  # no sidecar
+    for prefix in ("s", "w", "me", "zz"):
+        a = _topk(spark, search_wildcard(spark, sidecar_index,
+                                         f"{prefix}*", 10))
+        b = _topk(spark, search_wildcard(spark, doc_index,
+                                         f"{prefix}*", 10))
+        assert a == b, prefix
+        sa = [(r.term, r.df) for r in
+              suggest_terms(spark, sidecar_index, prefix, 5).collect()]
+        sb = [(r.term, r.df) for r in
+              suggest_terms(spark, doc_index, prefix, 5).collect()]
+        assert sa == sb, prefix
+
+
+def test_fuzzy_parity_and_short_query_fallback(spark, doc_index,
+                                               sidecar_index):
+    # "window" (len 6) at d=1 satisfies len ≥ 3+3d → sidecar path
+    rows = fuzzy_expansion_rows(spark, sidecar_index, "window", 1, 128)
+    assert rows is not None and any(r["term"] == "window" for r in rows)
+    # short query → sidecar declines (count filter can't prune) and
+    # the caller's band scan answers; results match either way
+    assert fuzzy_expansion_rows(spark, sidecar_index, "hast", 2, 128) is None
+    for term, d in [("window", 1), ("windoq", 1), ("hast", 2)]:
+        a = _topk(spark, search_fuzzy(spark, sidecar_index, term, 10,
+                                      max_dist=d))
+        b = _topk(spark, search_fuzzy(spark, doc_index, term, 10,
+                                      max_dist=d))
+        assert a == b, (term, d)
+
+
+def test_gram_filter_sound_on_repeated_gram_terms(spark, tmp_path):
+    """``abcabcabc`` has 7 gram occurrences but only 3 DISTINCT grams —
+    a distinct-set count filter would prune its distance-1 neighbor.
+    The positional-multiset filter must keep it."""
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "repo": ["r"] * 4, "commit": ["c"] * 4, "lang": ["x"] * 4,
+        "path": [f"f{i}" for i in range(4)],
+        "content": ["abcabcabc common", "abcabcabd common",
+                    "zzzzzzzzz common", "unrelatedterm common"],
+    })
+    idx = str(tmp_path / "tricky")
+    build_index(spark, spark.createDataFrame(docs), idx, n_splits=1,
+                n_buckets=4, tokenizer="simple")
+    build_term_sidecars(spark, idx)
+    rows = fuzzy_expansion_rows(spark, idx, "abcabcabc", 1, 128)
+    got = sorted(r["term"] for r in rows)
+    # ground truth: banded DP over the full dictionary
+    dict_terms = [r.term for r in
+                  spark.read.parquet(f"{idx}/dict").collect()]
+    want = sorted(t for t in dict_terms
+                  if _levenshtein_leq(t, "abcabcabc", 1))
+    assert got == want == ["abcabcabc", "abcabcabd"]
+
+
+def test_fuzzy_scan_prunes_gram_buckets(spark, sidecar_index):
+    """The gram-sidecar candidate scan lists only the query grams'
+    ``gram_bucket=K`` directories (the bounded-read contract)."""
+    df = fuzzy_candidates_df(spark, sidecar_index, "window", 1)
+    scans = scan_info(df)
+    assert scans, "no FileScan found"
+    gram_scans = [s for s in scans if "gram_bucket" in s["PartitionFilters"]]
+    assert gram_scans, [s["PartitionFilters"] for s in scans]
+
+
+def test_sorted_dict_prefix_scan_pushes_startswith(spark, sidecar_index):
+    df = prefix_expansion_df(spark, sidecar_index, "s")
+    scans = scan_info(df)
+    assert scans and "StartsWith(term,s)" in scans[0]["PushedFilters"]
+    # range-partitioned: multiple term-sorted files, NOT bucket dirs
+    files = glob.glob(os.path.join(sidecar_index, "dict_sorted",
+                                   "*.parquet"))
+    assert len(files) >= 2
+
+
+def test_stale_sidecars_fall_back_with_warning(spark, sidecar_index,
+                                               tmp_path):
+    idx = str(tmp_path / "stale_copy")
+    shutil.copytree(sidecar_index, idx)
+    # simulate a dictionary change (e.g. a merge wave): n_terms moves
+    with open(f"{idx}/_INDEX_SUCCESS") as f:
+        success = json.load(f)
+    success["n_terms"] = success["n_terms"] + 1
+    with open(f"{idx}/_INDEX_SUCCESS", "w") as f:
+        json.dump(success, f)
+    with pytest.warns(UserWarning, match="stale"):
+        assert prefix_expansion_df(spark, idx, "s") is None
+    with pytest.warns(UserWarning, match="stale"):
+        assert fuzzy_expansion_rows(spark, idx, "window", 1, 128) is None
+    # and the search surfaces still answer (fallback), identically
+    a = _topk(spark, search_wildcard(spark, idx, "s*", 10))
+    b = _topk(spark, search_wildcard(spark, sidecar_index, "s*", 10))
+    assert a == b
+    # rebuilding the sidecars restores freshness
+    build_term_sidecars(spark, idx)
+    assert prefix_expansion_df(spark, idx, "s") is not None
+
+
+def test_merge_wave_invalidates_sidecars(spark, tmp_path):
+    """A real incremental merge rewrites dict/ — sidecars built before
+    it must read as stale."""
+    from datastream_io_spark.corpus import corpus_df
+    from datastream_io_spark.streaming.incremental import (
+        finalize_stream_index,
+        ingest_batch,
+        merge_stream_batches,
+    )
+
+    pdf = corpus_df(spark, 90, n_partitions=2).toPandas()
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    idx = str(tmp_path / "sidx")
+    for i in range(2):
+        ingest_batch(spark, spark.createDataFrame(pdf.iloc[i*30:(i+1)*30]),
+                     i, idx, tokenizer="code")
+    finalize_stream_index(spark, idx, n_buckets=8, tokenizer="code")
+    build_term_sidecars(spark, idx)
+    assert prefix_expansion_df(spark, idx, "pars") is not None
+    ingest_batch(spark, spark.createDataFrame(pdf.iloc[60:90]), 2, idx,
+                 tokenizer="code")
+    merge_stream_batches(spark, idx)
+    with pytest.warns(UserWarning, match="stale"):
+        assert prefix_expansion_df(spark, idx, "pars") is None
+    build_term_sidecars(spark, idx)
+    exp = prefix_expansion_df(spark, idx, "pars")
+    assert exp is not None and exp.count() > 0
