@@ -522,12 +522,15 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 phrase: list[str] | None = None,
                 term_rows: list | None = None,
                 decoded: dict | None = None,
-                tomb=None) -> pd.DataFrame:
+                tomb=None, score: bool = True) -> pd.DataFrame:
     """Q7 kernel: one document-range split → ≤k exact-scored candidates.
     ``term_rows``/``decoded`` can be injected by the multi-query driver
     (Q13) so block decodes are shared across the batch's queries.
     ``tomb`` (broadcast sorted tombstone ids) filters candidates BEFORE
-    θ seeding and the cut — deletes never weaken pruning soundness."""
+    θ seeding and the cut — deletes never weaken pruning soundness.
+    ``score=False`` (only with ``k=None``) emits the match SET without
+    BM25 — membership needs only the doc streams, so facet/count
+    queries skip every tf/dl decode and all scoring arithmetic."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "score": pd.Series([], dtype="float64")})
     if term_rows is None:
@@ -576,6 +579,9 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         cand = _or_candidates(term_rows, idf, avgdl, k, decoded, tv)
         if cand.size == 0:
             return empty
+    if k is None and not score:
+        return pd.DataFrame({"doc_id": cand.astype("int64"),
+                             "score": np.zeros(cand.size, "float64")})
     scores = _exact_scores(cand, term_rows, idf, avgdl, decoded)
 
     if k is None:
@@ -1236,8 +1242,10 @@ def _facet_counts_impl(spark, index_dir, stats, query, facet_col, mode,
     avgdl, n_terms = float(stats["avgdl"]), len(terms)
 
     def kernel_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        # membership only: no tf/dl decode, no scoring (facet counts
+        # are score-independent)
         return _wand_split(pdf, idf, avgdl, None, mode, n_terms, phrase,
-                           tomb=tomb)
+                           tomb=tomb, score=False)
 
     cand = prows.groupBy("split_id").applyInPandas(
         kernel_all, "doc_id long, score double").select("doc_id")
@@ -1248,6 +1256,44 @@ def _facet_counts_impl(spark, index_dir, stats, query, facet_col, mode,
             .groupBy(facet_col)
             .agg(F.count("*").alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
+def match_count(spark: SparkSession, index_dir: str, query: str,
+                mode: str = "and") -> int:
+    """Exact number of live docs matching ``query`` — membership only:
+    each split's kernel enumerates its match set from the doc streams
+    (no tf/dl decode, no scoring) and emits ONE count row, so the only
+    data crossing the wire is one integer per split at any corpus
+    size. The primitive behind partitioned facet counts
+    (:func:`~datastream_io_spark.operators.partitioned.facet_counts_partitioned`)."""
+    if mode not in ("and", "or", "phrase"):
+        raise ValueError(
+            f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    mode, terms, phrase = _plan_terms(query, mode, stats)
+    if not terms:
+        return 0
+    dict_rows = lookup_terms(spark, index_dir, terms,
+                             int(stats["n_buckets"]))
+    if (mode in ("and", "phrase") and len(dict_rows) < len(terms)) \
+            or not dict_rows:
+        return 0
+    idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+    tomb, tomb_join = _tombstone_state(spark, index_dir)
+    prows = _with_tomb(
+        postings_rows(spark, index_dir, buckets, sorted(idf)), tomb_join)
+    avgdl, n_terms = float(stats["avgdl"]), len(terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _wand_split(pdf, idf, avgdl, None, mode, n_terms, phrase,
+                          tomb=tomb, score=False)
+        return pd.DataFrame({"n": pd.Series([len(out)], dtype="int64")})
+
+    counts = prows.groupBy("split_id").applyInPandas(kernel, "n long")
+    row = counts.agg(F.sum("n").alias("n")).collect()[0]
+    return int(row["n"] or 0)
 
 
 def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str],
