@@ -218,6 +218,50 @@ def q_bm25_indexed_and(spark, sf_dir):
 o_bm25_indexed_and = _bm25_oracle(["agg", "window"], 10, "and")
 
 
+def q_bm25f(spark, sf_dir):
+    """BM25F per-field scoring (simple variant, integer weights): the
+    synthetic path field boosted ×3 over the body. Compiled into the
+    index as field repetition — tf' = Σ w_f·tf_f, dl' = Σ w_f·len_f —
+    so the unchanged WAND query path scores BM25F exactly; the oracle
+    replicates the repeated-field text in SQL. Query 'window doc_42'
+    (OR): doc 42's path token carries tf 3 at near-unique idf, ranking
+    it above body-only matches."""
+    from datastream_io_spark.operators.bm25f import build_bm25f_index
+    from datastream_io_spark.operators.indexed_search import search_indexed
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    idx = _dq_tmpdir("dq_bm25f_")
+    build_bm25f_index(spark, corpus, idx,
+                      field_weights={"path": 3, "content": 1},
+                      n_splits=2, n_buckets=8, tokenizer="simple",
+                      salt_threshold=100, n_salts=4,
+                      source_desc=f"{sf_dir}/documents.parquet")
+    topk = search_indexed(spark, idx, "window doc_42", 10, "or",
+                          with_doc_cols=True)
+    return topk.select(
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# same BM25 CTE over the DERIVED fielded text: path ('doc_<id>')
+# repeated 3× ahead of the body — identical token stream to Spark's
+# concat_ws(" ", path, path, path, content)
+_BM25F_TOK = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower("
+    "repeat('doc_' || CAST(doc_id AS VARCHAR) || ' ', 3) || text), "
+    "'[^a-z0-9_]+'), t -> t <> '')) AS term FROM documents"
+)
+
+o_bm25f = (
+    BM25_CTE.replace(TOK_SQL, _BM25F_TOK).format(
+        terms="'doc_42', 'window'")
+    + "SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id "
+    "ORDER BY sum(s) DESC, doc_id LIMIT 10"
+)
+
+
 _POS_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1061,39 +1105,32 @@ o_date_funcs = (
 )
 
 
-def q_json_funcs(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.select("event_type",
-                 F.get_json_object("props", "$.k").cast("long").alias("k"))
-        .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
-    )
-
-
-o_json_funcs = """
-SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       count(*) AS n
-FROM events GROUP BY event_type
-"""
-
-
 def q_map_funcs(spark, sf_dir):
-    """§2.9 map tier: map_from_arrays / element_at / map_keys over a map
-    built from event columns (map outputs serialized to strings so the
-    driver canonicalizer can hash them)."""
+    """§2.9 map + json tiers in ONE entry (consolidated r4 to free a
+    50-row-window slot for bm25f): map_from_arrays / element_at /
+    map_keys per event (map outputs serialized to strings so the
+    driver canonicalizer can hash them), broadcast-joined with the
+    per-type get_json_object aggregate."""
     e = load_table(spark, sf_dir, "events")
     m = F.map_from_arrays(
         F.array(F.lit("type"), F.lit("user")),
         F.array(F.col("event_type"), F.col("user_id").cast("string")))
-    return e.select(
+    per_event = e.select(
         "event_id",
         F.element_at(m, "type").alias("m_type"),
         F.element_at(m, "user").alias("m_user"),
         F.concat_ws(",", F.map_keys(m)).alias("m_keys"),
         F.size(m).cast("long").alias("m_size"),
     )
+    per_type = (
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_type"))
+    )
+    return per_event.join(
+        F.broadcast(per_type),
+        per_event.m_type == per_type.event_type).drop("event_type")
 
 
 o_map_funcs = """
@@ -1101,13 +1138,20 @@ WITH m AS (
   SELECT event_id,
          MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)} AS mm
   FROM events
+),
+jt AS (
+  SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         count(*) AS n_type
+  FROM events GROUP BY event_type
 )
 SELECT event_id,
        mm['type'][1] AS m_type,
        mm['user'][1] AS m_user,
        array_to_string(map_keys(mm), ',') AS m_keys,
-       CAST(cardinality(mm) AS BIGINT) AS m_size
-FROM m
+       CAST(cardinality(mm) AS BIGINT) AS m_size,
+       jt.sum_k, jt.n_type
+FROM m JOIN jt ON mm['type'][1] = jt.event_type
 """
 
 
@@ -1485,6 +1529,7 @@ QUERIES = {
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_topk_or": q_bm25_topk_or,
     "bm25_indexed_and": q_bm25_indexed_and,
+    "bm25f": q_bm25f,
     "phrase_indexed": q_phrase_indexed,
     "match_positions": q_match_positions,
     "snippets": q_snippets,
@@ -1518,7 +1563,6 @@ QUERIES = {
     "array_ops_extended": q_array_ops_extended,
     "string_funcs": q_string_funcs,
     "date_funcs": q_date_funcs,
-    "json_funcs": q_json_funcs,
     "map_funcs": q_map_funcs,
     "array_funcs": q_array_funcs,
     "dedup_exact": q_dedup_exact,
@@ -1546,6 +1590,7 @@ ORACLES = {
     "bm25_topk_and": o_bm25_topk_and,
     "bm25_topk_or": o_bm25_topk_or,
     "bm25_indexed_and": o_bm25_indexed_and,
+    "bm25f": o_bm25f,
     "phrase_indexed": o_phrase_indexed,
     "match_positions": o_match_positions,
     "snippets": o_snippets,
@@ -1578,7 +1623,6 @@ ORACLES = {
     "array_ops_extended": o_array_ops_extended,
     "string_funcs": o_string_funcs,
     "date_funcs": o_date_funcs,
-    "json_funcs": o_json_funcs,
     "map_funcs": o_map_funcs,
     "array_funcs": o_array_funcs,
     "dedup_exact": o_dedup_exact,
