@@ -72,17 +72,27 @@ from datastream_io_spark.operators.relational_search import (
 )
 
 
+# 'auto' dict_cache threshold: a term row in the driver cache is ~50
+# bytes (term + df/cf/idf/bucket in a pandas frame) — 4M terms ≈ 200 MB,
+# comfortably inside a driver heap; past it the dictionary stays in
+# Spark (bucket-pruned lookup job per query, never materialized whole)
+AUTO_DICT_DRIVER_MAX_TERMS = 4_000_000
+
+
 class Searcher:
     """Warm query handle over a built index: stats and the dictionary
     are loaded once, so each query costs ONE Spark job (bucket-pruned
     postings scan → per-split WAND → top-k) plus an optional broadcast
     join for display columns.
 
-    ``dict_cache='driver'`` pulls the dictionary into driver memory —
-    right up to ~10^7 terms. Beyond that (10^12-file corpora), pass
-    ``dict_cache='spark'`` to keep Q2 as a bucket-pruned Spark lookup
-    per query (one extra tiny job), which never materializes the dict
-    anywhere whole.
+    ``dict_cache`` — 'auto' (default) caches the dictionary on the
+    driver when it has ≤ AUTO_DICT_DRIVER_MAX_TERMS terms (read from
+    the build's recorded n_terms; counted once if absent) and keeps it
+    in Spark otherwise, so a 10^12-file corpus can't accidentally pull
+    a 10^9-term dictionary into driver memory. 'driver' / 'spark'
+    force either behavior. In Spark mode Q2 is a bucket-pruned lookup
+    job per query; warm wildcard/fuzzy fall back to the sidecar/cold
+    expansion scans.
 
     Staleness contract: tombstone deletes are LIVE (re-read per query),
     but anything that rewrites dict/stats underneath a warm handle —
@@ -91,11 +101,27 @@ class Searcher:
     """
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 dict_cache: str = "driver"):
+                 dict_cache: str = "auto"):
+        if dict_cache not in ("auto", "driver", "spark"):
+            raise ValueError(
+                f"dict_cache must be 'auto', 'driver' or 'spark', got "
+                f"{dict_cache!r}")
         self.spark = spark
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
         _check_format(self.stats, index_dir)
+        if dict_cache == "auto":
+            from datastream_io_spark.operators.dictindex import (
+                _index_n_terms,
+            )
+
+            n_terms = _index_n_terms(index_dir)
+            if n_terms is None:
+                n_terms = spark.read.parquet(
+                    os.path.join(index_dir, "dict")).count()
+            dict_cache = ("driver"
+                          if n_terms <= AUTO_DICT_DRIVER_MAX_TERMS
+                          else "spark")
         self._dict_pdf = None
         if dict_cache == "driver":
             self._dict_pdf = (
@@ -173,6 +199,23 @@ class Searcher:
         if self._dict_pdf is None:
             return search_fuzzy(self.spark, self.index_dir, q, k,
                                 max_dist, max_expansions, with_doc_cols)
+        rows = self._warm_expansion(q, "fuzzy", max_dist, max_expansions)
+        return self._or_over(rows, k, with_doc_cols)
+
+    def _warm_expansion(self, q: str, mode: str, max_dist: int,
+                        max_expansions: int) -> list[dict]:
+        """Wildcard/fuzzy expansion against the driver-cached dict
+        (zero Spark jobs). Same cap semantics as the cold paths."""
+        if mode == "wildcard":
+            prefix = q.lower().rstrip("*")
+            if not prefix:
+                return []
+            return self._expansion_rows(
+                self._dict_pdf.index.str.startswith(prefix),
+                max_expansions)
+        q = _fuzzy_term(q)
+        if not q:
+            return []
         lens = self._dict_pdf.index.str.len()
         band = np.asarray((lens >= max(1, len(q) - max_dist))
                           & (lens <= len(q) + max_dist))
@@ -184,8 +227,66 @@ class Searcher:
                             for t in cand), bool, count=len(cand))
         mask = np.zeros(len(self._dict_pdf), dtype=bool)
         mask[band_pos[keep]] = True
-        rows = self._expansion_rows(mask, max_expansions)
-        return self._or_over(rows, k, with_doc_cols)
+        return self._expansion_rows(mask, max_expansions)
+
+    def search_many(self, queries: dict[str, str], k: int = 10,
+                    mode: str = "and", max_dist: int = 1,
+                    max_expansions: int = 128) -> DataFrame:
+        """Q13 on the warm path — every batched mode with ALL planning
+        (term lookup, boolean idf, wildcard/fuzzy expansion) resolved
+        from the driver-cached dict: the whole batch costs ONE Spark
+        job regardless of mode. Results identical to the module-level
+        :func:`search_many` (parity-tested per mode)."""
+        if mode not in ("and", "or", "phrase", "boolean", "wildcard",
+                        "fuzzy"):
+            raise ValueError(
+                "mode must be 'and', 'or', 'phrase', 'boolean', "
+                f"'wildcard' or 'fuzzy', got {mode!r}")
+        if self._dict_pdf is None:
+            return search_many(self.spark, self.index_dir, queries, k,
+                               mode, max_dist, max_expansions)
+        if mode == "boolean":
+            from datastream_io_spark.operators.boolean_search import (
+                plan_boolean,
+            )
+
+            trees, pos_all, all_terms = {}, set(), set()
+            for qid, q in queries.items():
+                tree, pos, terms = plan_boolean(q, self.stats)
+                trees[qid] = (tree, pos)
+                pos_all |= pos
+                all_terms |= terms
+            idf_all = {r["term"]: r["idf"]
+                       for r in self._lookup(sorted(pos_all))}
+            plans_b = {
+                qid: ({t: idf_all[t] for t in pos if t in idf_all}, tree)
+                for qid, (tree, pos) in trees.items()
+            }
+            return _search_many_boolean_tail(
+                self.spark, self.index_dir, self.stats, plans_b,
+                sorted(all_terms), k)
+        plans_w = {}
+        if mode in ("wildcard", "fuzzy"):
+            for qid, q in queries.items():
+                rows = self._warm_expansion(q, mode, max_dist,
+                                            max_expansions)
+                if rows:
+                    plans_w[qid] = ({r["term"]: r["idf"] for r in rows},
+                                    len(rows), "or", None)
+        else:
+            for qid, q in queries.items():
+                qmode, terms, phrase = _plan_terms(q, mode, self.stats)
+                if not terms:
+                    continue
+                rows = self._lookup(terms)
+                found = {r["term"]: r["idf"] for r in rows}
+                if not found:
+                    continue
+                if qmode in ("and", "phrase") and len(found) < len(terms):
+                    continue
+                plans_w[qid] = (found, len(terms), qmode, phrase)
+        return _search_many_wand_tail(self.spark, self.index_dir,
+                                      self.stats, plans_w, k)
 
     def facet_counts(self, query: str, facet_col: str = "lang",
                      mode: str = "and", where=None) -> DataFrame:
@@ -717,7 +818,8 @@ def snippets(spark: SparkSession, index_dir: str, corpus: DataFrame,
 
 def search_many(spark: SparkSession, index_dir: str,
                 queries: dict[str, str], k: int = 10,
-                mode: str = "and") -> DataFrame:
+                mode: str = "and", max_dist: int = 1,
+                max_expansions: int = 128) -> DataFrame:
     """Q13 — batched serving: answer MANY queries in ONE Spark job.
 
     A single-query search pays a fixed job-launch cost (~hundreds of ms
@@ -725,26 +827,28 @@ def search_many(spark: SparkSession, index_dir: str,
     workload should amortize it. One bucket-pruned postings scan covers
     the UNION of all query terms; inside each split the per-query
     kernels share one block-decode cache, so overlapping terms decode
-    once for the whole batch. All four single-query modes batch:
+    once for the whole batch. Every single-query mode batches:
     'and' | 'or' | 'phrase' (positional index) | 'boolean' (each query
-    string is a full boolean expression, quoted phrases included).
-    Returns DF[query_id, doc_id, score] with per-query (score desc,
-    doc_id asc) top-k — each query's rows are identical to its
-    individual ``search_indexed`` / ``search_boolean`` answer."""
-    if mode not in ("and", "or", "phrase", "boolean"):
+    string is a full boolean expression, quoted phrases included) |
+    'wildcard' (each query a prefix) | 'fuzzy' (each query a term,
+    shared ``max_dist``) — the expansion modes resolve their term sets
+    first (sidecar-backed when built), then ride the same shared OR
+    kernel. Returns DF[query_id, doc_id, score] with per-query
+    (score desc, doc_id asc) top-k — each query's rows are identical
+    to its individual single-query answer (parity-tested per mode)."""
+    if mode not in ("and", "or", "phrase", "boolean", "wildcard",
+                    "fuzzy"):
         raise ValueError(
-            f"mode must be 'and', 'or', 'phrase' or 'boolean', got {mode!r}")
+            "mode must be 'and', 'or', 'phrase', 'boolean', 'wildcard' "
+            f"or 'fuzzy', got {mode!r}")
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
-    avgdl = float(stats["avgdl"])
     n_buckets = int(stats["n_buckets"])
-    empty = spark.createDataFrame(
-        [], "query_id string, doc_id long, score double")
+    empty = _empty_many(spark)
 
     if mode == "boolean":
         from datastream_io_spark.operators.boolean_search import (
             plan_boolean,
-            score_tree_split,
         )
 
         trees, pos_all, all_terms = {}, set(), set()
@@ -761,76 +865,162 @@ def search_many(spark: SparkSession, index_dir: str,
         plans_b = {qid: ({t: idf_all[t] for t in pos if t in idf_all},
                          tree)
                    for qid, (tree, pos) in trees.items()}
-        buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
-        tomb, tomb_join = _tombstone_state(spark, index_dir)
-        prows = _with_tomb(postings_rows(spark, index_dir, buckets,
-                                         sorted(all_terms)), tomb_join)
+        return _search_many_boolean_tail(spark, index_dir, stats,
+                                         plans_b, sorted(all_terms), k)
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
-            decoded: dict = {}  # shared across the batch's queries
-            tv = _tv_from(pdf, tomb)
-            outs = []
-            for qid, (idf_q, tree) in plans_b.items():
-                out = score_tree_split(tree, idf_q, avgdl, k, blocks_of,
-                                       decoded, tv)
-                if len(out):
-                    out.insert(0, "query_id", qid)
-                    outs.append(out)
-            return _concat_query_outs(outs)
-
-    else:
-        # and / or / phrase all run the _wand_split kernel; _plan_terms
-        # resolves the per-query mode (a 1-token phrase degrades to AND)
-        # and enforces the positional-index requirement
-        plans = {}  # qid -> (idf subset, n_terms, qmode, phrase)
-        idf_needed: set = set()
-        for qid, q in queries.items():
-            qmode, terms, phrase = _plan_terms(q, mode, stats)
-            if terms:
-                plans[qid] = (terms, qmode, phrase)
-                idf_needed.update(terms)
-        if not plans:
-            return empty
-        dict_rows = lookup_terms(spark, index_dir, sorted(idf_needed),
-                                 n_buckets)
-        idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
+    if mode in ("wildcard", "fuzzy"):
         plans_w = {}
-        for qid, (terms, qmode, phrase) in plans.items():
-            found = {t: idf_all[t] for t in terms if t in idf_all}
-            if not found:
+        for qid, q in queries.items():
+            rows = _expansion_rows_cold(spark, index_dir, q, mode,
+                                        max_dist, max_expansions)
+            if rows:
+                found = {r["term"]: float(r["idf"]) for r in rows}
+                plans_w[qid] = (found, len(found), "or", None)
+        return _search_many_wand_tail(spark, index_dir, stats, plans_w,
+                                      k)
+
+    # and / or / phrase all run the _wand_split kernel; _plan_terms
+    # resolves the per-query mode (a 1-token phrase degrades to AND)
+    # and enforces the positional-index requirement
+    plans = {}  # qid -> (terms, qmode, phrase)
+    idf_needed: set = set()
+    for qid, q in queries.items():
+        qmode, terms, phrase = _plan_terms(q, mode, stats)
+        if terms:
+            plans[qid] = (terms, qmode, phrase)
+            idf_needed.update(terms)
+    if not plans:
+        return empty
+    dict_rows = lookup_terms(spark, index_dir, sorted(idf_needed),
+                             n_buckets)
+    idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
+    plans_w = {}
+    for qid, (terms, qmode, phrase) in plans.items():
+        found = {t: idf_all[t] for t in terms if t in idf_all}
+        if not found:
+            continue
+        if qmode in ("and", "phrase") and len(found) < len(terms):
+            continue  # a term is absent from the corpus
+        plans_w[qid] = (found, len(terms), qmode, phrase)
+    return _search_many_wand_tail(spark, index_dir, stats, plans_w, k)
+
+
+def _empty_many(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "query_id string, doc_id long, score double")
+
+
+def _expansion_rows_cold(spark: SparkSession, index_dir: str, q: str,
+                         mode: str, max_dist: int,
+                         max_expansions: int) -> list:
+    """One query's wildcard/fuzzy expansion rows on the cold path —
+    sidecar when fresh, base dictionary otherwise; identical cap
+    semantics to the single-query functions."""
+    from datastream_io_spark.operators.dictindex import (
+        fuzzy_expansion_rows,
+        prefix_expansion_df,
+    )
+
+    if mode == "wildcard":
+        prefix = q.lower().rstrip("*")
+        if not prefix:
+            return []
+        exp = prefix_expansion_df(spark, index_dir, prefix)
+        if exp is None:
+            exp = spark.read.parquet(
+                os.path.join(index_dir, "dict")).where(
+                F.col("term").startswith(prefix))
+    else:
+        qq = _fuzzy_term(q)
+        if not qq:
+            return []
+        rows = fuzzy_expansion_rows(spark, index_dir, qq, max_dist,
+                                    max_expansions)
+        if rows is not None:
+            return rows
+        lo, hi = max(1, len(qq) - max_dist), len(qq) + max_dist
+        exp = spark.read.parquet(
+            os.path.join(index_dir, "dict")).where(
+            F.length("term").between(lo, hi)
+            & (F.levenshtein(F.col("term"), F.lit(qq), max_dist) >= 0))
+    return (exp.select("term", "df", "idf", "term_bucket")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions).collect())
+
+
+def _search_many_wand_tail(spark: SparkSession, index_dir: str,
+                           stats: dict, plans_w: dict,
+                           k: int) -> DataFrame:
+    """Shared execution tail of the batched wand modes (and cold/warm
+    alike): one bucket-pruned scan over the union of every plan's
+    terms, per-split kernels with a shared decode cache, per-query
+    rank window."""
+    if not plans_w:
+        return _empty_many(spark)
+    avgdl = float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+    buckets = sorted({term_bucket(t, n_buckets)
+                      for fi, _, _, _ in plans_w.values() for t in fi})
+    needed = sorted({t for fi, _, _, _ in plans_w.values() for t in fi})
+    tomb, tomb_join = _tombstone_state(spark, index_dir)
+    prows = _with_tomb(
+        postings_rows(spark, index_dir, buckets, needed), tomb_join)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows_by_term = {r.term: (r.term, list(r.blocks))
+                        for r in pdf.itertuples()}
+        decoded: dict = {}  # shared across the batch's queries
+        outs = []
+        for qid, (idf_q, n_terms, qmode, phrase) in plans_w.items():
+            term_rows = [rows_by_term[t] for t in sorted(idf_q)
+                         if t in rows_by_term]
+            if not term_rows:
                 continue
-            if qmode in ("and", "phrase") and len(found) < len(terms):
-                continue  # a term is absent from the corpus
-            plans_w[qid] = (found, len(terms), qmode, phrase)
-        if not plans_w:
-            return empty
-        buckets = sorted({term_bucket(t, n_buckets)
-                          for fi, _, _, _ in plans_w.values() for t in fi})
-        needed = sorted({t for fi, _, _, _ in plans_w.values()
-                         for t in fi})
-        tomb, tomb_join = _tombstone_state(spark, index_dir)
-        prows = _with_tomb(
-            postings_rows(spark, index_dir, buckets, needed), tomb_join)
+            out = _wand_split(pdf, idf_q, avgdl, k, qmode, n_terms,
+                              phrase=phrase, term_rows=term_rows,
+                              decoded=decoded, tomb=tomb)
+            if len(out):
+                out.insert(0, "query_id", qid)
+                outs.append(out)
+        return _concat_query_outs(outs)
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows_by_term = {r.term: (r.term, list(r.blocks))
-                            for r in pdf.itertuples()}
-            decoded: dict = {}  # shared across the batch's queries
-            outs = []
-            for qid, (idf_q, n_terms, qmode, phrase) in plans_w.items():
-                term_rows = [rows_by_term[t] for t in sorted(idf_q)
-                             if t in rows_by_term]
-                if not term_rows:
-                    continue
-                out = _wand_split(pdf, idf_q, avgdl, k, qmode, n_terms,
-                                  phrase=phrase, term_rows=term_rows,
-                                  decoded=decoded, tomb=tomb)
-                if len(out):
-                    out.insert(0, "query_id", qid)
-                    outs.append(out)
-            return _concat_query_outs(outs)
+    return _rank_many(spark, prows, kernel, k)
 
+
+def _search_many_boolean_tail(spark: SparkSession, index_dir: str,
+                              stats: dict, plans_b: dict,
+                              all_terms: list[str], k: int) -> DataFrame:
+    from datastream_io_spark.operators.boolean_search import (
+        score_tree_split,
+    )
+
+    if not plans_b:
+        return _empty_many(spark)
+    avgdl = float(stats["avgdl"])
+    n_buckets = int(stats["n_buckets"])
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+    tomb, tomb_join = _tombstone_state(spark, index_dir)
+    prows = _with_tomb(postings_rows(spark, index_dir, buckets,
+                                     all_terms), tomb_join)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
+        decoded: dict = {}  # shared across the batch's queries
+        tv = _tv_from(pdf, tomb)
+        outs = []
+        for qid, (idf_q, tree) in plans_b.items():
+            out = score_tree_split(tree, idf_q, avgdl, k, blocks_of,
+                                   decoded, tv)
+            if len(out):
+                out.insert(0, "query_id", qid)
+                outs.append(out)
+        return _concat_query_outs(outs)
+
+    return _rank_many(spark, prows, kernel, k)
+
+
+def _rank_many(spark: SparkSession, prows: DataFrame, kernel,
+               k: int) -> DataFrame:
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "query_id string, doc_id long, score double")
     # per-query candidates are ≤ k × n_splits rows — the rank window is
