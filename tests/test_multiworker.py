@@ -206,3 +206,53 @@ def test_empty_splits_build_and_search(spark, tmp_path):
     docs = spark.read.parquet(f"{idx}/docs")
     assert docs.count() == 7
     assert search_indexed(spark, idx, "window", 5, "or").count() >= 0
+
+
+def test_partitioned_fleet_cli_equals_library_build(spark, tmp_path):
+    """jobs/build_partitioned.py (plan → claiming workers → commit)
+    must land a root identical to build_partitioned_index's serial
+    loop; stale claims block nothing but scheduling (completion truth
+    is each subindex's _INDEX_SUCCESS)."""
+    import json
+    import os
+
+    import pytest
+
+    from jobs.build_partitioned import main as pb_main
+    from datastream_io_spark.operators.partitioned import (
+        build_partitioned_index, read_partitioned, search_partitioned)
+    from datastream_io_spark.sources.scan import documents_as_corpus
+
+    corpus = documents_as_corpus(spark, SF0001)
+    src = str(tmp_path / "corpus_src")
+    corpus.write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "fleet_root")
+    args = ["--src", src, "--root", root, "--by", "lang",
+            "--splits", "2", "--buckets", "8", "--tokenizer", "simple"]
+    langs = sorted(r[0] for r in corpus.select("lang").distinct().collect())
+
+    assert pb_main(args + ["--plan"]) == 0
+    with open(f"{root}/partitioned_plan.json") as f:
+        assert json.load(f)["values"] == langs
+
+    # a crashed worker's stale claim: the value is skipped by workers…
+    os.makedirs(f"{root}/manifest", exist_ok=True)
+    open(f"{root}/manifest/vclaim_{langs[0]}", "w").close()
+    assert pb_main(args) == 0  # "worker 1" builds the unclaimed values
+    with pytest.raises(RuntimeError, match="incomplete"):
+        pb_main(args + ["--commit"])
+    # …until the claim is released and a worker re-pulls
+    os.unlink(f"{root}/manifest/vclaim_{langs[0]}")
+    assert pb_main(args) == 0
+    assert pb_main(args + ["--commit"]) == 0
+
+    lib_root = str(tmp_path / "lib_root")
+    build_partitioned_index(spark, corpus, lib_root, by="lang",
+                            n_splits=2, n_buckets=8, tokenizer="simple")
+    assert read_partitioned(root) == read_partitioned(lib_root)
+    for lang in langs:
+        a = [(r.doc_id, round(r.score, 9)) for r in search_partitioned(
+            spark, root, lang, "window agg", 10, "and").collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in search_partitioned(
+            spark, lib_root, lang, "window agg", 10, "and").collect()]
+        assert a == b, lang
