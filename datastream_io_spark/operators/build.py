@@ -644,11 +644,22 @@ def build_segment(
         # segments land PARTITIONED BY term_bucket: finalize decomposes
         # into per-bucket merge tasks (independent workers) that read
         # only their own ``split_*/term_bucket=K`` directories —
-        # directory-level pruning instead of W× full-segment rescans
+        # directory-level pruning instead of W× full-segment rescans.
+        # The post-encode repartition ON the bucket matters: a dynamic
+        # partition write straight from the (term, salt)-partitioned
+        # encode output would emit one file per (task × bucket) —
+        # measured 32k tiny files for a 5k-doc build — where this
+        # yields ~1 file per bucket per split, and the extra shuffle
+        # moves only compressed blocks (~2-4 bytes/posting). Keying the
+        # ENCODE repartition on (bucket, salt) instead was measured
+        # ~2× slower here: n_buckets×n_salts small encoder tasks lose
+        # more to scheduling + per-batch overhead than this shuffle
+        # costs.
         n_buckets = int(info["n_buckets"])
         (runs.withColumn(
             "term_bucket",
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+         .repartition(n_buckets, "term_bucket")
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(tmp_dir))
         if os.path.exists(seg_dir):
