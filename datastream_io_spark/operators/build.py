@@ -265,6 +265,21 @@ def _doc_key_split(n_splits: int):
     return F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_splits)).cast("int")
 
 
+def _with_split(corpus: DataFrame, n_splits: int) -> DataFrame:
+    """Corpus with its split assignment. When the SOURCE already
+    carries a ``split_id`` partition column (a table partitioned on
+    the split expression — the petabyte layout the build docstring
+    prescribes), use it as-is: per-split stage tasks then filter ON
+    the partition column and Spark prunes directories, so staging
+    reads each row once no matter how many tasks run. The column MUST
+    be a function of the doc key (all duplicates of a key in one
+    split) with values in [0, n_splits) — the staging count check
+    catches drift. Otherwise derive the hash split."""
+    if "split_id" in corpus.columns:
+        return corpus
+    return corpus.withColumn("split_id", _doc_key_split(n_splits))
+
+
 def stage_corpus(
     spark: SparkSession,
     corpus: DataFrame,
@@ -303,7 +318,7 @@ def stage_corpus(
         hashed.withColumn("_rn", F.row_number().over(w_dedup))
         .where(F.col("_rn") == 1).drop("_rn")
     )
-    with_split = deduped.withColumn("split_id", _doc_key_split(n_splits))
+    with_split = _with_split(deduped, n_splits)
     counts = {
         int(r["split_id"]): int(r["n"])
         for r in with_split.groupBy("split_id").agg(F.count("*").alias("n")).collect()
@@ -393,11 +408,17 @@ def stage_plan(
     os.makedirs(index_dir, exist_ok=True)
     counts = {
         int(r["split_id"]): int(r["n"])
-        for r in corpus.withColumn("split_id", _doc_key_split(n_splits))
+        for r in _with_split(corpus, n_splits)
         .groupBy("split_id")
         .agg(F.countDistinct("repo", "path", "commit").alias("n"))
         .collect()
     }
+    bad = [s for s in counts if not 0 <= s < n_splits]
+    if bad:
+        raise ValueError(
+            f"source split_id values {bad[:5]} fall outside "
+            f"[0, {n_splits}) — the source's split partition column "
+            "does not match the requested n_splits")
     offsets, acc = {}, 0
     for s in range(n_splits):
         offsets[s] = acc
@@ -442,8 +463,7 @@ def stage_splits(spark: SparkSession, corpus: DataFrame, index_dir: str,
     # hive-partitioned tree would break partition discovery for readers
     task_id = f"s{min(todo):04d}_{max(todo):04d}"
     tmp = os.path.join(index_dir, "stage_build", task_id)
-    filtered = corpus.withColumn(
-        "split_id", _doc_key_split(n_splits)).where(
+    filtered = _with_split(corpus, n_splits).where(
         F.col("split_id").isin(todo))
     hashed = filtered.withColumn("content_sha256",
                                  F.sha2(F.col("content"), 256))
@@ -732,6 +752,16 @@ def _seg_bucket_paths(index_dir: str, buckets: list[int]) -> list[str]:
     for d in sorted(os.listdir(seg_root)):
         if not d.startswith("split_"):
             continue
+        entries = os.listdir(os.path.join(seg_root, d))
+        if (not any(e.startswith("term_bucket=") for e in entries)
+                and any(e.endswith(".parquet") for e in entries)):
+            # a silent empty result here would finalize-commit an index
+            # with zero postings while stats claims n_docs > 0
+            raise ValueError(
+                f"segment {d} uses the pre-bucket layout (parquet files "
+                "with no term_bucket= subdirectories) — it was built by "
+                "an older version; rebuild the segments before "
+                "finalizing")
         for k in buckets:
             p = os.path.join(seg_root, d, f"term_bucket={k}")
             if os.path.isdir(p):
@@ -913,7 +943,9 @@ def finalize_commit(index_dir: str, info: dict,
         raise RuntimeError(
             f"finalize incomplete — {len(missing)} task(s) missing "
             f"(first: {missing[:5]}); run the finalize workers to "
-            "completion (claims of crashed workers: release and re-run)")
+            "completion (a crashed fleet's stale claims: "
+            "build_worker.py --phase finalize --release-claims, with no "
+            "live workers)")
     manifests = [M.read_split_manifest(index_dir, s) for s in range(n_splits)]
     n_docs = sum(m["n_docs"] for m in manifests)
     sum_dl = sum(m["sum_dl"] for m in manifests)
@@ -1114,7 +1146,11 @@ def _purge_deleted_locked(spark: SparkSession, index_dir: str) -> dict:
     _write_json_atomic(_stats_path(index_dir), stats)
 
     # merge.json is the lineage the inspect/verify tooling recounts
-    # against — keep it true after the rewrite
+    # against — keep it true after the rewrite; _INDEX_SUCCESS carries
+    # the recorded n_terms that Searcher(dict_cache='auto') and sidecar
+    # sizing read, and a purge can shrink the dictionary
+    n_terms = int(spark.read.parquet(
+        os.path.join(index_dir, "dict")).count())
     merge_path = os.path.join(index_dir, "manifest", "merge.json")
     if os.path.exists(merge_path):
         with open(merge_path) as f:
@@ -1128,11 +1164,15 @@ def _purge_deleted_locked(spark: SparkSession, index_dir: str) -> dict:
             "n_posting_rows": int(mrow["n_rows"] or 0),
             "n_postings": int(mrow["n_postings"] or 0),
             "compressed_bytes": int(mrow["bytes"] or 0),
-            "n_terms": int(spark.read.parquet(
-                os.path.join(index_dir, "dict")).count()),
+            "n_terms": n_terms,
             "purged": True,
         })
         _write_json_atomic(merge_path, merge_metrics)
+        success_payload = merge_metrics
+    else:  # streaming indexes have no merge.json lineage
+        success_payload = {"n_terms": n_terms, "purged": True}
+    with open(os.path.join(index_dir, "_INDEX_SUCCESS"), "w") as f:
+        json.dump(success_payload, f)
     shutil.rmtree(tomb_dir)
     # build-phase re-runs (stage resume / finalize) must refuse from now
     # on: segments/ and staged_corpus/ still contain the purged docs

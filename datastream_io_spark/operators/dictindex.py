@@ -89,10 +89,9 @@ def _index_n_terms(index_dir: str) -> int | None:
         return int(json.load(f).get("n_terms", -1))
 
 
-def _write_sync(path: str, index_dir: str) -> None:
+def _write_sync(path: str, fingerprint: dict) -> None:
     with open(os.path.join(path, _SYNC), "w") as f:
-        json.dump({"fingerprint": _dict_fingerprint(index_dir),
-                   "gram_n": GRAM_N}, f)
+        json.dump({"fingerprint": fingerprint, "gram_n": GRAM_N}, f)
 
 
 def _sidecar_fresh(index_dir: str, sub: str) -> bool:
@@ -118,9 +117,26 @@ def build_term_sidecars(spark: SparkSession, index_dir: str,
     """Build/refresh both expansion sidecars from the finalized
     ``dict/``. O(total dictionary characters) — independent of corpus
     size — and embarrassingly parallel (a range repartition and a hash
-    repartition). Safe to re-run any time (tmp → swap)."""
+    repartition). Safe to re-run any time (tmp → swap). Takes the
+    maintenance lock: a merge/purge committing mid-build could
+    otherwise leave a sidecar stamped with the POST-change fingerprint
+    over PRE-change dictionary contents — fresh-looking but wrong."""
+    from datastream_io_spark.operators.build import maintenance_lock
+
+    with maintenance_lock(index_dir, "sidecars"):
+        return _build_term_sidecars_locked(spark, index_dir,
+                                           n_range_parts, n_gram_buckets)
+
+
+def _build_term_sidecars_locked(spark: SparkSession, index_dir: str,
+                                n_range_parts: int | None,
+                                n_gram_buckets: int | None) -> dict:
     from datastream_io_spark.operators.build import repair_swap, swap_in
 
+    # fingerprint FIRST: if the dictionary changes while we build (it
+    # cannot under the lock, but belt-and-braces), the sidecar reads
+    # as stale rather than fresh-over-wrong-data
+    fingerprint = _dict_fingerprint(index_dir)
     d = spark.read.parquet(os.path.join(index_dir, "dict"))
     n_terms = _index_n_terms(index_dir)
     if n_terms is None:
@@ -140,7 +156,7 @@ def build_term_sidecars(spark: SparkSession, index_dir: str,
      .repartitionByRange(n_range_parts, "term")
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(tmp))
-    _write_sync(tmp, index_dir)
+    _write_sync(tmp, fingerprint)
     repair_swap(sorted_path)
     if os.path.exists(sorted_path):
         swap_in(sorted_path, tmp)
@@ -179,7 +195,7 @@ def build_term_sidecars(spark: SparkSession, index_dir: str,
     (grams.repartition("gram_bucket")
      .sortWithinPartitions("gram", "term")
      .write.mode("overwrite").partitionBy("gram_bucket").parquet(tmp))
-    _write_sync(tmp, index_dir)
+    _write_sync(tmp, fingerprint)
     with open(os.path.join(tmp, "_META.json"), "w") as f:
         json.dump({"n_gram_buckets": int(n_gram_buckets),
                    "gram_n": GRAM_N}, f)

@@ -183,8 +183,7 @@ class Searcher:
         if self._dict_pdf is None:
             return search_wildcard(self.spark, self.index_dir, prefix, k,
                                    max_expansions, with_doc_cols)
-        rows = self._expansion_rows(
-            self._dict_pdf.index.str.startswith(prefix), max_expansions)
+        rows = self._warm_expansion(prefix, "wildcard", 0, max_expansions)
         return self._or_over(rows, k, with_doc_cols)
 
     def search_fuzzy(self, term: str, k: int = 10, max_dist: int = 1,
@@ -1104,17 +1103,15 @@ def delete_docs(spark: SparkSession, index_dir: str,
         merged = new.distinct().join(docs_splits, "doc_id", "left") \
             .withColumn("split_id",
                         F.coalesce("split_id", F.lit(-1)).cast("int"))
+        # count BEFORE writing: an empty partitioned write leaves an
+        # uninferrable directory, and a read-back with a broad except
+        # would mask real read failures as "zero tombstones"
+        n = merged.count()
+        if n == 0:
+            return existing
         tmp = tomb_dir + "_tmp"
         (merged.repartition("split_id").write.mode("overwrite")
          .partitionBy("split_id").parquet(tmp))
-        try:
-            n = spark.read.parquet(tmp).count()
-        except Exception:  # empty partitioned dir: no schema to infer
-            n = 0
-        if n == 0:
-            import shutil
-            shutil.rmtree(tmp)
-            return existing
 
         stats = read_stats(index_dir)
         frac = n / max(int(stats["n_docs"]), 1)

@@ -119,6 +119,24 @@ def claim_split(index_dir: str, split_id: int, owner: str) -> bool:
     return True
 
 
+def release_task_claims(index_dir: str, prefix: str) -> int:
+    """Remove ALL claim files with the given prefix (``sclaim_`` /
+    ``fclaim_`` / ``vclaim_``) — the recovery path for a crashed
+    stage/finalize/partitioned fleet. Run ONLY when no worker is live:
+    chunk claims cannot be mapped back to individual task markers, so
+    this drops live and stale claims alike; completed tasks are still
+    skipped via their done markers, so re-claiming them is a no-op."""
+    d = manifest_dir(index_dir)
+    if not os.path.isdir(d):
+        return 0
+    n = 0
+    for name in os.listdir(d):
+        if name.startswith(prefix):
+            os.unlink(os.path.join(d, name))
+            n += 1
+    return n
+
+
 def release_claims(index_dir: str, only_undone: bool = True) -> int:
     """Remove claim files (all of them, or only those whose split has no
     done manifest — the stale claims of crashed workers). Run before a

@@ -746,9 +746,13 @@ def _compact_stream_index_locked(spark: SparkSession, index_dir: str,
     _swap_in(os.path.join(index_dir, "postings"), tmp)
     _swap_in(docs_path, docs_tmp)
 
-    # range-partitioned tombstones are keyed by split — remap them with
-    # the same group map or the big-set query path (per-split join)
-    # would attach deleted ids to split ids that no longer exist
+    # range-partitioned tombstones are keyed by split — rekey them or
+    # the big-set query path (per-split join) would attach deleted ids
+    # to split ids that no longer exist. Rekeying joins the POST-swap
+    # docs on doc_id (not the old→new split map): a crash between the
+    # docs swap and this rewrite leaves stale tombstone keys, and a
+    # RE-RUN's split map would be the identity — id-driven rekeying is
+    # idempotent and correct from any crash point.
     tomb_dir = os.path.join(index_dir, "tombstones")
     _repair_swap(tomb_dir)
     if os.path.exists(tomb_dir):
@@ -757,10 +761,13 @@ def _compact_stream_index_locked(spark: SparkSession, index_dir: str,
             tomb_tmp = tomb_dir + "_compact_tmp"
             if os.path.exists(tomb_tmp):
                 shutil.rmtree(tomb_tmp)
-            (tomb.withColumn(
-                "split_id",
-                F.coalesce(F.element_at(map_expr, F.col("split_id")),
-                           F.col("split_id")).cast("int"))
+            new_docs = spark.read.parquet(docs_path).select(
+                "doc_id", F.col("split_id").alias("_new_split"))
+            (tomb.select("doc_id")
+             .join(new_docs, "doc_id", "left")
+             .withColumn("split_id",
+                         F.coalesce("_new_split", F.lit(-1)).cast("int"))
+             .drop("_new_split")
              .repartition("split_id").write.mode("overwrite")
              .partitionBy("split_id").parquet(tomb_tmp))
             _swap_in(tomb_dir, tomb_tmp)

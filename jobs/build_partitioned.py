@@ -57,6 +57,11 @@ def main(argv: list[str]) -> int:
     p.add_argument("--positions", action="store_true")
     p.add_argument("--salt-threshold", type=int, default=1 << 20)
     p.add_argument("--salts", type=int, default=8)
+    p.add_argument("--release-claims", action="store_true",
+                   help="drop stale value claims of a crashed fleet "
+                        "before pulling (built values stay done via "
+                        "their _INDEX_SUCCESS); only with no live "
+                        "workers")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -110,6 +115,13 @@ def main(argv: list[str]) -> int:
         return 0
 
     # worker: claim values dynamically, build each as a normal index
+    if args.release_claims:
+        from datastream_io_spark.sources.manifest import (
+            release_task_claims,
+        )
+
+        print(f"released {release_task_claims(args.root, 'vclaim_')} "
+              "stale value claims")
     corpus = scan_corpus(spark, args.src, args.fmt)
     os.makedirs(os.path.join(args.root, "manifest"), exist_ok=True)
     owner = f"pworker_pid{os.getpid()}"

@@ -106,12 +106,19 @@ def main(argv: list[str]) -> int:
     p.add_argument("--salt-threshold", type=int, default=1 << 20)
     p.add_argument("--salts", type=int, default=8)
     p.add_argument("--concurrency", type=int, default=4)
+    p.add_argument("--stage-chunk", type=int, default=None,
+                   help="splits per stage task (every worker of a fleet "
+                        "must pass the SAME value — chunk claims are "
+                        "indexed by it); default n_splits//16, min 1. "
+                        "Each task stages its chunk in ONE corpus pass "
+                        "(stage_splits), bounding read amplification")
     p.add_argument("--release-claims", action="store_true",
-                   help="before pulling, drop stale claims of UNDONE "
-                        "splits (a crashed fleet's leftovers would "
-                        "otherwise make every retry a no-op). Only run "
-                        "this when no other worker is live — a live "
-                        "worker's claim looks identical to a stale one")
+                   help="before pulling, drop this phase's stale claims "
+                        "(a crashed fleet's leftovers would otherwise "
+                        "make every retry a no-op; done tasks stay done "
+                        "via their markers). Only run this when no other "
+                        "worker is live — a live worker's claim looks "
+                        "identical to a stale one")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -122,6 +129,7 @@ def main(argv: list[str]) -> int:
         pending_splits,
         read_task_marker,
         release_claims,
+        release_task_claims,
     )
 
     spark = SparkSession.builder.appName(
@@ -129,22 +137,36 @@ def main(argv: list[str]) -> int:
     owner = f"worker_{args.worker_id}_pid{__import__('os').getpid()}"
 
     if args.phase == "stage":
-        from datastream_io_spark.operators.build import stage_split
+        from datastream_io_spark.operators.build import stage_splits
         from datastream_io_spark.sources.scan import scan_corpus
 
         if not args.src:
             p.error("--phase stage requires --src")
+        if args.release_claims:
+            print(f"released {release_task_claims(args.index, 'sclaim_')} "
+                  "stale stage claims")
         with open(f"{args.index}/staging_plan.json") as f:
             plan = json.load(f)
         corpus = scan_corpus(spark, args.src, args.fmt)
-        mine = (s for s in range(plan["n_splits"])
-                if read_task_marker(args.index, f"stage_{s:04d}") is None
-                and claim_task(args.index, f"sclaim_{s:04d}", owner))
+        n_splits = plan["n_splits"]
+        chunk = args.stage_chunk or max(1, n_splits // 16)
+
+        def chunks():
+            for c in range((n_splits + chunk - 1) // chunk):
+                splits = list(range(c * chunk,
+                                    min((c + 1) * chunk, n_splits)))
+                undone = [s for s in splits if read_task_marker(
+                    args.index, f"stage_{s:04d}") is None]
+                if undone and claim_task(args.index,
+                                         f"sclaim_c{c:04d}", owner):
+                    yield undone
         built = _pull_concurrently(
-            mine, lambda s: (stage_split(spark, corpus, args.index, s,
-                                         plan), s)[1],
+            chunks(),
+            lambda ss: (stage_splits(spark, corpus, args.index, ss,
+                                     plan), ss)[1],
             args.concurrency)
-        print(f"stage worker: staged {len(built)} splits {sorted(built)}")
+        staged = sorted(s for ss in built for s in ss)
+        print(f"stage worker: staged {len(staged)} splits {staged}")
         return 0
 
     if args.phase == "finalize":
@@ -153,6 +175,9 @@ def main(argv: list[str]) -> int:
             finalize_postings_buckets,
         )
 
+        if args.release_claims:
+            print(f"released {release_task_claims(args.index, 'fclaim_')} "
+                  "stale finalize claims")
         with open(f"{args.index}/staging.json") as f:
             info = json.load(f)
 

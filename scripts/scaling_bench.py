@@ -21,10 +21,13 @@ r4 EVERY phase runs as a worker fleet (the same decomposition
 Workers synchronize on a ready/go barrier so JVM provisioning time is
 excluded — the metric is steady-state indexing throughput, matching
 how cluster throughput is measured (executors exist before the job
-starts). Chunk sizes scale inversely with worker count so each LANE
-(worker thread) claims the same number of tasks at N and 4N — equal
-per-worker read amplification, so the two operating points do the
-same per-core work.
+starts). Task counts are FIXED at both operating points (16 stage
+chunks / 16+16 finalize chunks / 16 segment splits), so total work
+and total per-task overhead are constants that more workers divide —
+the cluster model. The generated source is partitioned on the split
+expression (the documented petabyte layout), so each stage task's
+scan prunes to its own split directories instead of re-reading the
+whole corpus.
 
 Two calibration notes reported alongside (both measured on this box):
   * pure-compute ceiling: even fully-isolated numpy/Python processes
@@ -60,8 +63,17 @@ GEN_CODE = r"""
 import sys; sys.path.insert(0, {repo!r})
 from datastream_io_spark.session import get_spark
 from datastream_io_spark.corpus import corpus_df
+from pyspark.sql import functions as F
 spark = get_spark("gen", cores=32)
-corpus_df(spark, int(sys.argv[1])).write.mode("overwrite").parquet(sys.argv[2])
+n, out, n_splits = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+# the source is PARTITIONED on the split expression — the documented
+# petabyte layout (build.py: "partition the source table itself on the
+# split expression") — so per-split stage tasks prune directories and
+# staging reads each row once regardless of task count
+(corpus_df(spark, n)
+ .withColumn("split_id", F.pmod(F.xxhash64("repo", "path", "commit"),
+                                F.lit(n_splits)).cast("int"))
+ .write.mode("overwrite").partitionBy("split_id").parquet(out))
 """
 
 PLAN_CODE = r"""
@@ -230,11 +242,13 @@ def build_at(src: str, n_splits: int, n_workers: int, cores_each: int,
 
     idx = tempfile.mkdtemp(prefix=f"scal_w{n_workers}_")
     out = {}
-    # equal per-LANE task counts at N and 4N: each worker's 2 threads
-    # claim the same number of chunks, so per-core work matches
-    lanes = n_workers * 2
-    s_chunk = max(1, n_splits // (lanes * 2))
-    b_chunk = max(1, N_BUCKETS // (lanes * 2))
+    # FIXED total task counts at BOTH operating points: total work and
+    # total per-task overhead are then constants, and more workers
+    # divide them — the correct cluster model. (The first r4 cut used
+    # per-lane-equal chunking, which pins per-lane scan+overhead EQUAL
+    # at N and 4N and therefore cannot scale those components at all.)
+    s_chunk = max(1, n_splits // 16)
+    b_chunk = max(1, N_BUCKETS // 16)
     d_chunk = s_chunk
 
     p = run_py(PLAN_CODE, src, idx, str(n_splits), str(coord_cores))
@@ -328,7 +342,7 @@ def main() -> None:
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     t_evidence = time.time()
     src = tempfile.mkdtemp(prefix="scal_src_")
-    run_py(GEN_CODE, str(n), src)
+    run_py(GEN_CODE, str(n), src, str(n_splits))
 
     runs_n, runs_4n, iso_secs = [], [], []
     for rep in range(repeats):
@@ -380,8 +394,11 @@ docs tasks) — so end-to-end throughput scales with workers, not just
 the segment phase. N = 1 worker × 2 cores; 4N = 4 workers × 2 cores
 (plan/commit coordinator steps are a tiny count job + pure-Python
 metadata writes). Workers gate on a ready/go barrier so JVM
-provisioning is excluded. Chunk sizes keep per-LANE task counts equal
-at N and 4N (equal per-core read amplification).
+provisioning is excluded. Task counts are FIXED at both sizes (total
+work and total per-task overhead are constants that more workers
+divide), and the source is partitioned on the split expression so
+each stage task's scan prunes to its own splits — the documented
+petabyte source layout.
 
 Per-phase best across {repeats} alternating repeats (N → 4N → iso; this
 VM's steal swings same-code phase times ±40% on a minutes timescale):

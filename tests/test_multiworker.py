@@ -256,3 +256,53 @@ def test_partitioned_fleet_cli_equals_library_build(spark, tmp_path):
         b = [(r.doc_id, round(r.score, 9)) for r in search_partitioned(
             spark, lib_root, lang, "window agg", 10, "and").collect()]
         assert a == b, lang
+
+
+def test_stage_uses_source_split_partition_column(spark, tmp_path):
+    """A source partitioned on the split expression (the documented
+    petabyte layout) stages through its split_id partition column —
+    per-task scans PRUNE to their splits (plan-asserted) and the ids
+    are identical to staging the unpartitioned source."""
+    from pyspark.sql import functions as F
+
+    from datastream_io_spark.operators.build import (
+        _with_split, stage_commit, stage_plan, stage_splits)
+    from datastream_io_spark.plans import scan_info
+
+    corpus = documents_as_corpus(spark, SF0001)
+    src = str(tmp_path / "presplit_src")
+    (corpus.withColumn(
+        "split_id",
+        F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(4)).cast("int"))
+     .write.mode("overwrite").partitionBy("split_id").parquet(src))
+    pre = spark.read.parquet(src)
+
+    # the per-task filter lands on the PARTITION column → pruned scan
+    filtered = _with_split(pre, 4).where(F.col("split_id").isin([1, 2]))
+    scans = scan_info(filtered)
+    assert scans and "split_id" in scans[0]["PartitionFilters"]
+
+    shard = str(tmp_path / "from_presplit")
+    plan = stage_plan(spark, pre, shard, 4, 8, "simple")
+    stage_splits(spark, pre, shard, [0, 1], plan)
+    stage_splits(spark, pre, shard, [2, 3], plan)
+    stage_commit(shard, plan)
+
+    mono = str(tmp_path / "from_plain")
+    info_m = stage_corpus(spark, corpus, mono, 4, 8, "simple")
+    assert plan["split_counts"] == info_m["split_counts"]
+    cols = ["doc_id", "repo", "path", "commit", "content_sha256"]
+
+    def rows(idx):
+        return sorted(tuple(r[c] for c in cols) for r in spark.read
+                      .parquet(f"{idx}/staged_corpus").select(cols).collect())
+
+    assert rows(shard) == rows(mono)
+
+    # a wrong split column is caught at plan time
+    bad = corpus.withColumn("split_id", F.lit(7))
+    try:
+        stage_plan(spark, bad, str(tmp_path / "bad"), 4, 8, "simple")
+        raise AssertionError("out-of-range split_id accepted")
+    except ValueError as e:
+        assert "outside" in str(e)
