@@ -486,11 +486,20 @@ def stage_splits(spark: SparkSession, corpus: DataFrame, index_dir: str,
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     staged.write.mode("overwrite").partitionBy("split_id").parquet(tmp)
-    got = {
-        int(r["split_id"]): int(r["n"]) for r in
-        spark.read.parquet(tmp).groupBy("split_id")
-        .agg(F.count("*").alias("n")).collect()
-    }
+    # verify counts from the written parquet FOOTERS (driver-side) —
+    # the same evidence a count job would read, without paying a second
+    # Spark job per stage task
+    import pyarrow.parquet as pq
+
+    got = {}
+    for d in os.listdir(tmp):
+        if not d.startswith("split_id="):
+            continue
+        s_val = int(d.split("=")[1])
+        got[s_val] = sum(
+            pq.ParquetFile(os.path.join(tmp, d, f)).metadata.num_rows
+            for f in os.listdir(os.path.join(tmp, d))
+            if f.endswith(".parquet"))
     for s in todo:
         want = plan["split_counts"][str(s)]
         if got.get(s, 0) != want:
@@ -849,15 +858,32 @@ def finalize_postings_buckets(spark: SparkSession, index_dir: str,
         postings_task = spark.read.parquet(tmp_post)
         write_dictionary(spark, postings_task, n_docs, index_dir,
                          out=tmp_dict)
-        metrics_by_bucket = {
-            int(r["term_bucket"]): {
-                "n_rows": int(r["n_rows"]), "n_postings": int(r["n_post"]),
-                "n_terms": int(r["n_terms"])}
-            for r in postings_task.groupBy("term_bucket").agg(
-                F.count("*").alias("n_rows"),
-                F.sum("df").alias("n_post"),
-                F.countDistinct("term").alias("n_terms")).collect()
-        }
+        # per-bucket metrics from the freshly written parquet, driver-
+        # side via footers + the tiny dict files — a third Spark job
+        # per finalize task (the old groupBy/countDistinct agg) was a
+        # third of the phase's fixed overhead. Postings row counts are
+        # footer metadata; n_terms is the dict bucket's row count
+        # (buckets partition the term space); n_postings = Σ df over
+        # the dict rows (dict df == merged postings df by definition).
+        metrics_by_bucket = {}
+        for k in buckets:
+            pdir = os.path.join(tmp_post, f"term_bucket={k}")
+            ddir = os.path.join(tmp_dict, f"term_bucket={k}")
+            if not os.path.isdir(pdir):
+                continue
+            m = {"n_rows": 0, "n_postings": 0, "n_terms": 0}
+            import pyarrow.parquet as pq
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    m["n_rows"] += pq.ParquetFile(
+                        os.path.join(pdir, f)).metadata.num_rows
+            for f in os.listdir(ddir) if os.path.isdir(ddir) else []:
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(ddir, f),
+                                      columns=["df"])
+                    m["n_terms"] += t.num_rows
+                    m["n_postings"] += int(sum(t["df"].to_pylist()))
+            metrics_by_bucket[k] = m
     for k in buckets:
         src_p = os.path.join(tmp_post, f"term_bucket={k}")
         src_d = os.path.join(tmp_dict, f"term_bucket={k}")

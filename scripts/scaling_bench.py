@@ -403,7 +403,9 @@ petabyte source layout.
 Per-phase best across {repeats} alternating repeats (N → 4N → iso; this
 VM's steal swings same-code phase times ±40% on a minutes timescale):
 stage N {[round(r['stage_sec'], 1) for r in runs_n]} /
-4N {[round(r['stage_sec'], 1) for r in runs_4n]};
+4N {[round(r['stage_sec'], 1) for r in runs_4n]}
+(plan-job component N {[round(r['stage_plan_sec'], 1) for r in runs_n]} /
+4N {[round(r['stage_plan_sec'], 1) for r in runs_4n]});
 segments N {[round(r['segments_sec'], 1) for r in runs_n]} /
 4N {[round(r['segments_sec'], 1) for r in runs_4n]};
 finalize N {[round(r['finalize_sec'], 1) for r in runs_n]} /
