@@ -1205,6 +1205,13 @@ def _purge_deleted_locked(spark: SparkSession, index_dir: str) -> dict:
     with open(_purged_marker(index_dir), "w") as f:
         f.write("purged — segments/staged corpus are stale; "
                 "rebuild into a fresh directory\n")
+    # keep expansion sidecars fresh across the dict rewrite (still
+    # under the maintenance lock); no-op if the index never built them
+    from datastream_io_spark.operators.dictindex import (
+        refresh_sidecars_if_present,
+    )
+
+    refresh_sidecars_if_present(spark, index_dir)
     return stats
 
 

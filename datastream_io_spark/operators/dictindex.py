@@ -36,9 +36,12 @@ finalized dictionary by :func:`build_term_sidecars`:
 
 Staleness: each sidecar records a content fingerprint of the
 dictionary at build time (_INDEX_SUCCESS payload + corpus n_docs and
-avgdl — every dict-rewriting operation moves at least one of them); a
-later incremental merge or purge invalidates the sidecars, and the
-callers fall back to the base-dictionary scans with a warning until
+avgdl — every dict-rewriting operation moves at least one of them).
+The dict-rewriting maintenance ops (incremental merge, purge) refresh
+existing sidecars automatically under their own lock
+(:func:`refresh_sidecars_if_present`); if a refresh is interrupted or
+the fingerprint mismatches for any other reason, callers fall back to
+the base-dictionary scans with a warning until
 :func:`build_term_sidecars` runs again. Tombstone deletes never touch
 the dictionary, so sidecars stay valid across them.
 """
@@ -206,6 +209,21 @@ def _build_term_sidecars_locked(spark: SparkSession, index_dir: str,
         os.replace(tmp, grams_path)
     return {"n_terms": n_terms, "n_range_parts": n_range_parts,
             "n_gram_buckets": n_gram_buckets}
+
+
+def refresh_sidecars_if_present(spark: SparkSession,
+                                index_dir: str) -> bool:
+    """Rebuild BOTH sidecars iff at least one exists — called by the
+    dict-rewriting maintenance ops (incremental merge, purge) while
+    they still hold the maintenance lock, so an index that opted into
+    sidecars keeps them fresh automatically instead of degrading to
+    the full-scan fallback until someone runs ``maintain_index.py
+    sidecars``. No-op (False) when the index never built them."""
+    if not (os.path.exists(os.path.join(index_dir, "dict_sorted"))
+            or os.path.exists(os.path.join(index_dir, "dict_ngrams"))):
+        return False
+    _build_term_sidecars_locked(spark, index_dir, None, None)
+    return True
 
 
 def prefix_expansion_df(spark: SparkSession, index_dir: str,

@@ -623,7 +623,16 @@ def _merge_stream_batches_locked(spark: SparkSession, index_dir: str,
     with open(tmp, "w") as f:
         json.dump(commit, f, indent=1)
     os.replace(tmp, marker)
-    return _apply_wave(index_dir, commit)
+    stats_out = _apply_wave(index_dir, commit)
+    # an index that opted into expansion sidecars keeps them fresh
+    # across merges (we still hold the maintenance lock); a crash here
+    # is benign — the sidecars just read as stale and fall back
+    from datastream_io_spark.operators.dictindex import (
+        refresh_sidecars_if_present,
+    )
+
+    refresh_sidecars_if_present(spark, index_dir)
+    return stats_out
 
 
 def compact_stream_index(spark: SparkSession, index_dir: str,

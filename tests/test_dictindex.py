@@ -154,9 +154,12 @@ def test_stale_sidecars_fall_back_with_warning(spark, sidecar_index,
     assert prefix_expansion_df(spark, idx, "s") is not None
 
 
-def test_merge_wave_invalidates_sidecars(spark, tmp_path):
-    """A real incremental merge rewrites dict/ — sidecars built before
-    it must read as stale."""
+def test_merge_and_purge_refresh_sidecars(spark, tmp_path):
+    """Dict-rewriting maintenance (incremental merge, purge) rebuilds
+    existing sidecars under its own lock — an index that opted in
+    never silently degrades to the full-scan fallback."""
+    import warnings
+
     from datastream_io_spark.corpus import corpus_df
     from datastream_io_spark.streaming.incremental import (
         finalize_stream_index,
@@ -172,12 +175,43 @@ def test_merge_wave_invalidates_sidecars(spark, tmp_path):
                      i, idx, tokenizer="code")
     finalize_stream_index(spark, idx, n_buckets=8, tokenizer="code")
     build_term_sidecars(spark, idx)
-    assert prefix_expansion_df(spark, idx, "pars") is not None
     ingest_batch(spark, spark.createDataFrame(pdf.iloc[60:90]), 2, idx,
                  tokenizer="code")
     merge_stream_batches(spark, idx)
-    with pytest.warns(UserWarning, match="stale"):
-        assert prefix_expansion_df(spark, idx, "pars") is None
-    build_term_sidecars(spark, idx)
-    exp = prefix_expansion_df(spark, idx, "pars")
-    assert exp is not None and exp.count() > 0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a stale fallback would warn
+        exp = prefix_expansion_df(spark, idx, "pars")
+        assert exp is not None and exp.count() > 0
+    # and the refreshed sorted dict covers the WAVE's rows (df moved)
+    d = {r["term"]: int(r["df"]) for r in
+         spark.read.parquet(f"{idx}/dict").collect()}
+    sd = {r["term"]: int(r["df"]) for r in
+          spark.read.parquet(f"{idx}/dict_sorted").collect()}
+    assert sd == d
+
+    # purge refreshes too (dict df shrinks with the victims)
+    from datastream_io_spark.operators.build import purge_deleted
+    from datastream_io_spark.operators.indexed_search import delete_docs
+
+    delete_docs(spark, idx, doc_ids=[0, 1, 2])
+    purge_deleted(spark, idx)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert prefix_expansion_df(spark, idx, "pars") is not None
+    d = {r["term"]: int(r["df"]) for r in
+         spark.read.parquet(f"{idx}/dict").collect()}
+    sd = {r["term"]: int(r["df"]) for r in
+          spark.read.parquet(f"{idx}/dict_sorted").collect()}
+    assert sd == d
+
+    # an index WITHOUT sidecars stays sidecar-free after maintenance
+    idx2 = str(tmp_path / "nosc")
+    for i in range(2):
+        ingest_batch(spark, spark.createDataFrame(pdf.iloc[i*30:(i+1)*30]),
+                     i, idx2, tokenizer="code")
+    finalize_stream_index(spark, idx2, n_buckets=8, tokenizer="code")
+    ingest_batch(spark, spark.createDataFrame(pdf.iloc[60:90]), 2, idx2,
+                 tokenizer="code")
+    merge_stream_batches(spark, idx2)
+    import os as _os
+    assert not _os.path.exists(f"{idx2}/dict_sorted")
