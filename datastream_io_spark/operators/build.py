@@ -250,6 +250,23 @@ def _staging_path(index_dir: str) -> str:
 
 
 def read_stats(index_dir: str) -> dict:
+    """Read stats.json — refusing to serve an index with a committed
+    but not fully applied streaming merge wave (crash mid-_apply_wave):
+    postings/ already holds the wave's files while docs/, dict/ and
+    stats.json are pre-wave, so queries would silently return doc_ids
+    absent from docs/ and scores computed with stale n_docs/avgdl/idf.
+    Every query entry point reads stats first, so this one check fails
+    them all loudly. merge_stream_batches itself repairs the wave
+    (_repair_merge) BEFORE reading stats, so re-running the merge is
+    both the fix and unaffected by the guard."""
+    wave = os.path.join(index_dir, "manifest", "wave_commit.json")
+    if os.path.exists(wave):
+        raise RuntimeError(
+            f"index at {index_dir} has a committed streaming merge wave "
+            "that was not fully applied (crash mid-apply): postings/ is "
+            "post-wave but docs/dict/stats are pre-wave, so query "
+            "results would be silently wrong — run merge_stream_batches "
+            "to roll the wave forward, then retry")
     with open(_stats_path(index_dir)) as f:
         return json.load(f)
 
@@ -273,8 +290,11 @@ def _with_split(corpus: DataFrame, n_splits: int) -> DataFrame:
     the partition column and Spark prunes directories, so staging
     reads each row once no matter how many tasks run. The column MUST
     be a function of the doc key (all duplicates of a key in one
-    split) with values in [0, n_splits) — the staging count check
-    catches drift. Otherwise derive the hash split."""
+    split) with values in [0, n_splits) — stage_plan verifies BOTH
+    (out-of-range values raise there; a key whose duplicates straddle
+    splits raises there too, because split-local dedupe would
+    otherwise index it once per split under two doc_ids). Otherwise
+    derive the hash split."""
     if "split_id" in corpus.columns:
         return corpus
     return corpus.withColumn("split_id", _doc_key_split(n_splits))
@@ -406,13 +426,32 @@ def stage_plan(
                       positions)
         return plan
     os.makedirs(index_dir, exist_ok=True)
-    counts = {
-        int(r["split_id"]): int(r["n"])
-        for r in _with_split(corpus, n_splits)
-        .groupBy("split_id")
-        .agg(F.countDistinct("repo", "path", "commit").alias("n"))
-        .collect()
-    }
+    # per-key first: a key whose duplicates straddle splits (a
+    # source-provided split_id that is NOT a pure function of the key)
+    # would otherwise be counted once per split here AND staged once
+    # per split by the split-local dedupe in stage_splits — counts
+    # match and the doc is silently indexed twice under two doc_ids.
+    # The per-key countDistinct costs the same shuffle the old
+    # per-split countDistinct paid; the second aggregation is tiny.
+    per_key = (
+        _with_split(corpus, n_splits)
+        .groupBy("repo", "path", "commit")
+        .agg(F.min("split_id").alias("split_id"),
+             F.countDistinct("split_id").alias("_n_splits_of_key"))
+    )
+    rows = (per_key.groupBy("split_id")
+            .agg(F.count("*").alias("n"),
+                 F.max("_n_splits_of_key").alias("mx"))
+            .collect())
+    straddling = [int(r["split_id"]) for r in rows if int(r["mx"]) > 1]
+    if straddling:
+        raise ValueError(
+            "the source's split_id column is not a pure function of "
+            "(repo, path, commit): duplicate keys straddle splits "
+            f"(seen from splits {straddling[:5]}) — split-local dedupe "
+            "would index such docs once per split; fix the source "
+            "partitioning or drop the column to use the hash split")
+    counts = {int(r["split_id"]): int(r["n"]) for r in rows}
     bad = [s for s in counts if not 0 <= s < n_splits]
     if bad:
         raise ValueError(

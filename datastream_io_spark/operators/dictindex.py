@@ -89,7 +89,11 @@ def _index_n_terms(index_dir: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(json.load(f).get("n_terms", -1))
+        v = json.load(f).get("n_terms")
+    # absent key → None (NOT a sentinel int): callers fall back to
+    # counting the dictionary; -1 would read as "tiny dict" and make
+    # dict_cache='auto' pull an arbitrarily large dict into the driver
+    return None if v is None else int(v)
 
 
 def _write_sync(path: str, fingerprint: dict) -> None:

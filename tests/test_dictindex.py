@@ -215,3 +215,23 @@ def test_merge_and_purge_refresh_sidecars(spark, tmp_path):
     merge_stream_batches(spark, idx2)
     import os as _os
     assert not _os.path.exists(f"{idx2}/dict_sorted")
+
+
+def test_index_n_terms_none_when_key_absent(tmp_path):
+    """_INDEX_SUCCESS without an n_terms key → None (ADVICE r4: the
+    old -1 sentinel read as 'tiny dict' and made dict_cache='auto'
+    pull an arbitrarily large dictionary into the driver)."""
+    import json
+    import os
+
+    from datastream_io_spark.operators.dictindex import _index_n_terms
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    assert _index_n_terms(idx) is None  # no marker at all
+    with open(os.path.join(idx, "_INDEX_SUCCESS"), "w") as f:
+        json.dump({"purged": True}, f)
+    assert _index_n_terms(idx) is None  # marker without the key
+    with open(os.path.join(idx, "_INDEX_SUCCESS"), "w") as f:
+        json.dump({"n_terms": 42}, f)
+    assert _index_n_terms(idx) == 42

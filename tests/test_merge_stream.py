@@ -210,6 +210,16 @@ def test_merge_crash_mid_apply_rolls_forward(spark, corpus_parts,
     # maintenance ops refuse until the wave is rolled forward
     with pytest.raises(RuntimeError, match="committed but not fully"):
         compact_stream_index(spark, idx, target_splits=1)
+    # ... and so does the QUERY path: postings/ already holds wave
+    # files while docs/dict/stats are pre-wave, so serving would be
+    # silently wrong (ADVICE r4). Every query entry reads stats first.
+    from datastream_io_spark.operators.build import read_stats
+    from datastream_io_spark.operators.indexed_search import Searcher
+
+    with pytest.raises(RuntimeError, match="not fully applied"):
+        read_stats(idx)
+    with pytest.raises(RuntimeError, match="not fully applied"):
+        Searcher(spark, idx)
 
     stats = merge_stream_batches(spark, idx, salt_threshold=50, n_salts=4)
     assert stats["n_docs"] == 120

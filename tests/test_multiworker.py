@@ -306,3 +306,21 @@ def test_stage_uses_source_split_partition_column(spark, tmp_path):
         raise AssertionError("out-of-range split_id accepted")
     except ValueError as e:
         assert "outside" in str(e)
+
+
+def test_stage_plan_rejects_cross_split_duplicate_keys(spark, tmp_path):
+    """A source-provided split_id that is NOT a pure function of the
+    doc key puts duplicates of one key into different splits; the old
+    per-split distinct counting matched the per-split staging counts
+    and silently indexed the doc twice under two doc_ids (ADVICE r4).
+    stage_plan must refuse at plan time."""
+    from datastream_io_spark.operators.build import stage_plan
+
+    corpus = documents_as_corpus(spark, SF0001).limit(20)
+    impure = corpus.withColumn("split_id", F.lit(0)).unionByName(
+        corpus.limit(3).withColumn("split_id", F.lit(1)))
+    try:
+        stage_plan(spark, impure, str(tmp_path / "impure"), 4, 8, "simple")
+        raise AssertionError("cross-split duplicate keys accepted")
+    except ValueError as e:
+        assert "not a pure function" in str(e)
