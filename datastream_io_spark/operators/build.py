@@ -107,6 +107,15 @@ SEGMENT_SCHEMA = T.StructType(
     ]
 )
 
+# batch segments additionally carry the run's compressed payload size
+# (same definition as blocks_bytes_col, computed inside the encode
+# kernel) so the per-split lineage metrics come from parquet footers +
+# this tiny column instead of a Spark job re-reading every block
+BATCH_SEGMENT_SCHEMA = T.StructType(
+    list(SEGMENT_SCHEMA.fields)
+    + [T.StructField("payload_bytes", T.LongType())]
+)
+
 
 class maintenance_lock:
     """Single-writer guard for index maintenance (delete / purge /
@@ -616,14 +625,21 @@ def _encode_partitions(it):
         blocks_per_run = encode_runs(ids, tfs, dls, starts, ends,
                                      positions=flat_pos)
         cf_runs = np.add.reduceat(tfs, starts)
+        # payload bytes per run — MUST equal blocks_bytes_col over the
+        # same blocks (the verify tooling recounts with that Column)
+        pay = [
+            sum(len(b["docs"]) + len(b["tfs"]) + len(b["dls"])
+                + len(b["poss"] or b"") for b in blks)
+            for blks in blocks_per_run
+        ]
         rows = [
             (terms[s], int(salts[s]), int(ids[s]), int(ids[e - 1]),
-             int(e - s), int(cf_runs[r]), blocks_per_run[r])
+             int(e - s), int(cf_runs[r]), blocks_per_run[r], pay[r])
             for r, (s, e) in enumerate(zip(starts, ends))
         ]
         yield pd.DataFrame(rows, columns=[
             "term", "salt", "first_doc_id", "last_doc_id",
-            "df_run", "cf_run", "blocks"])
+            "df_run", "cf_run", "blocks", "payload_bytes"])
 
 
 def build_segment(
@@ -634,12 +650,28 @@ def build_segment(
     salt_threshold: int = 1 << 20,
     n_salts: int = 8,
     source_desc: str = "",
+    bucket_layout: bool = True,
+    docs_per_task: int = 256,
 ) -> dict:
     """Phase B for one split: pruned scan → tokenize once → tf →
     salt → sorted block encode. Atomic: temp write → rename → manifest.
     When ``info['positions']`` is set the explode keeps the token index
     (posexplode) and per-posting position lists ride into the block
     codec — enabling phrase queries for ~60% more index bytes.
+
+    ``bucket_layout`` picks the segment directory shape:
+      True (default; what fleet workers use) — partition the segment by
+      ``term_bucket`` so per-bucket finalize TASKS read only their own
+      ``split_*/term_bucket=K`` dirs (directory pruning across a worker
+      fleet). Costs one extra shuffle of the compressed runs plus a
+      dynamic-partitioned write per split.
+      False (what single-process :func:`build_index` uses) — write the
+      encode output directly as flat parquet: no second shuffle, no
+      partitioned write (measured ~25% of the whole 20k-file build at
+      local[32], r4→r5). The single finalize job reads every segment
+      anyway, so the pruning the bucket layout buys has no single-JVM
+      customer. Finalize handles either layout (or a mix) — only
+      per-bucket SUBSET tasks lose directory pruning on flat splits.
     """
     tokenizer = info["tokenizer"]
     count = info["split_counts"].get(str(split_id), 0)
@@ -666,8 +698,13 @@ def build_segment(
     # a split's partition is typically ONE parquet file → the scan stage
     # gets one task and the tokenize UDF runs single-threaded per split
     # (measured: local[8] == local[32] wall time at 500k files). Fan the
-    # rows out across the executor slots before the expensive UDF.
-    fan = max(4, spark.sparkContext.defaultParallelism)
+    # rows out across the executor slots before the expensive UDF — but
+    # size the fan by the split's DATA, capped at the cluster width:
+    # blanket defaultParallelism turns a 1k-doc split into 32 near-empty
+    # tasks whose scheduling overhead dominates the whole phase
+    # (measured ~35% of the 20k-file segments phase at local[32], r5).
+    fan = min(max(4, -(-count // docs_per_task)),
+              spark.sparkContext.defaultParallelism)
     with_positions = bool(info.get("positions", False))
     # fused tokenize+tf kernel: tokenizes AND aggregates (tf, dl,
     # positions) inside the Arrow batch, so no explode→groupBy shuffle —
@@ -683,53 +720,65 @@ def build_segment(
     ).persist()
     try:
         # C4 — in-split hot terms get range-salted over the split's
-        # contiguous doc range so encode groups cap at ~count/n_salts docs
-        hot = (
-            tf.groupBy("term").agg(F.count("*").alias("df_seg"))
-            .where(F.col("df_seg") > salt_threshold)
-            .select("term").withColumn("is_hot", F.lit(True))
-        )
-        salt_expr = F.floor(
-            (F.col("doc_id") - F.lit(offset)) * F.lit(n_salts)
-            / F.lit(max(count, 1))
-        ).cast("int")
-        salted = tf.join(F.broadcast(hot), "term", "left").withColumn(
-            "salt",
-            F.when(F.col("is_hot").isNotNull(), salt_expr).otherwise(F.lit(0)),
-        ).drop("is_hot")
+        # contiguous doc range so encode groups cap at ~count/n_salts
+        # docs. A term's in-split df is bounded by the split's doc
+        # count, so when count <= salt_threshold NO term can be hot —
+        # skip the df aggregation job and the broadcast join entirely
+        # (one Spark job per split at typical thresholds).
+        if count <= salt_threshold:
+            salted = tf.withColumn("salt", F.lit(0))
+        else:
+            hot = (
+                tf.groupBy("term").agg(F.count("*").alias("df_seg"))
+                .where(F.col("df_seg") > salt_threshold)
+                .select("term").withColumn("is_hot", F.lit(True))
+            )
+            salt_expr = F.floor(
+                (F.col("doc_id") - F.lit(offset)) * F.lit(n_salts)
+                / F.lit(max(count, 1))
+            ).cast("int")
+            salted = tf.join(F.broadcast(hot), "term", "left").withColumn(
+                "salt",
+                F.when(F.col("is_hot").isNotNull(),
+                       salt_expr).otherwise(F.lit(0)),
+            ).drop("is_hot")
 
         run_cols = ["term", "salt", "doc_id", "tf", "dl"] + (
             ["positions"] if with_positions else [])
         runs = (
             salted.select(*run_cols)
-            .repartition(spark.sparkContext.defaultParallelism, "term", "salt")
+            .repartition(fan, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(_encode_partitions, SEGMENT_SCHEMA)
+            .mapInPandas(_encode_partitions, BATCH_SEGMENT_SCHEMA)
         )
 
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
-        # segments land PARTITIONED BY term_bucket: finalize decomposes
-        # into per-bucket merge tasks (independent workers) that read
-        # only their own ``split_*/term_bucket=K`` directories —
-        # directory-level pruning instead of W× full-segment rescans.
-        # The post-encode repartition ON the bucket matters: a dynamic
-        # partition write straight from the (term, salt)-partitioned
-        # encode output would emit one file per (task × bucket) —
-        # measured 32k tiny files for a 5k-doc build — where this
-        # yields ~1 file per bucket per split, and the extra shuffle
-        # moves only compressed blocks (~2-4 bytes/posting). Keying the
-        # ENCODE repartition on (bucket, salt) instead was measured
-        # ~2× slower here: n_buckets×n_salts small encoder tasks lose
-        # more to scheduling + per-batch overhead than this shuffle
-        # costs.
-        n_buckets = int(info["n_buckets"])
-        (runs.withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-         .repartition(n_buckets, "term_bucket")
-         .write.mode("overwrite").partitionBy("term_bucket")
-         .parquet(tmp_dir))
+        if bucket_layout:
+            # segments land PARTITIONED BY term_bucket: finalize
+            # decomposes into per-bucket merge tasks (independent
+            # workers) that read only their own
+            # ``split_*/term_bucket=K`` directories — directory-level
+            # pruning instead of W× full-segment rescans. The
+            # post-encode repartition ON the bucket matters: a dynamic
+            # partition write straight from the (term, salt)-
+            # partitioned encode output would emit one file per
+            # (task × bucket) — measured 32k tiny files for a 5k-doc
+            # build — where this yields ~1 file per bucket per split,
+            # and the extra shuffle moves only compressed blocks
+            # (~2-4 bytes/posting). Keying the ENCODE repartition on
+            # (bucket, salt) instead was measured ~2× slower here:
+            # n_buckets×n_salts small encoder tasks lose more to
+            # scheduling + per-batch overhead than this shuffle costs.
+            n_buckets = int(info["n_buckets"])
+            (runs.withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+             .repartition(n_buckets, "term_bucket")
+             .write.mode("overwrite").partitionBy("term_bucket")
+             .parquet(tmp_dir))
+        else:
+            runs.write.mode("overwrite").parquet(tmp_dir)
         if os.path.exists(seg_dir):
             shutil.rmtree(seg_dir)
         os.replace(tmp_dir, seg_dir)
@@ -742,31 +791,39 @@ def build_segment(
         tf.unpersist(blocking=False)
 
     # metrics from the durably written data (BASELINE.json:6 lineage:
-    # postings count, compressed bytes, term cardinality) — ONE collect
-    seg = spark.read.parquet(seg_dir)
-    ddl_done = spark.read.parquet(dl_dir)
-    mrow = (
-        seg.agg(
-            F.sum("df_run").alias("n_postings"),
-            F.countDistinct("term").alias("n_terms"),
-            F.sum("cf_run").alias("cf"),
-            F.sum(blocks_bytes_col("blocks")).alias("compressed_bytes"),
-        )
-        .crossJoin(ddl_done.agg(F.count("*").alias("n_docs_tok"),
-                                F.sum("dl").alias("sum_dl")))
-        .crossJoin(split_rows.agg(
-            F.sum(F.crc32("content_sha256")).alias("sha_crc")))
-        .collect()[0]
-    )
+    # postings count, compressed bytes, term cardinality) — driver-side
+    # pyarrow reads of the split's own files instead of a fourth Spark
+    # job per split (the agg job's fixed cost was ~20% of a small split
+    # build; a split job's "driver" owns exactly this split's data, so
+    # the reads stay split-sized at any corpus scale). payload_bytes is
+    # kernel-computed to blocks_bytes_col's definition, so verify
+    # recounts still match.
+    import zlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def _sum(tbl, col):
+        return int(pc.sum(tbl[col]).as_py() or 0)
+
+    seg_t = pq.read_table(
+        seg_dir, columns=["term", "df_run", "cf_run", "payload_bytes"])
+    dl_t = pq.read_table(dl_dir, columns=["dl"])
+    sha_t = pq.read_table(
+        os.path.join(index_dir, "staged_corpus", f"split_id={split_id}"),
+        columns=["content_sha256"])
+    # same semantics as F.crc32 over the utf-8 string, summed unsigned
+    sha_crc = sum(
+        zlib.crc32(v.encode()) for v in sha_t["content_sha256"].to_pylist())
     metrics = {
         "n_docs": int(count),
-        "n_docs_tokenized": int(mrow["n_docs_tok"] or 0),
-        "n_postings": int(mrow["n_postings"] or 0),
-        "n_terms": int(mrow["n_terms"] or 0),
-        "cf": int(mrow["cf"] or 0),
-        "sum_dl": int(mrow["sum_dl"] or 0),
-        "compressed_bytes": int(mrow["compressed_bytes"] or 0),
-        "sha_crc_sum": int(mrow["sha_crc"] or 0),
+        "n_docs_tokenized": int(dl_t.num_rows),
+        "n_postings": _sum(seg_t, "df_run"),
+        "n_terms": int(pc.count_distinct(seg_t["term"]).as_py() or 0),
+        "cf": _sum(seg_t, "cf_run"),
+        "sum_dl": _sum(dl_t, "dl"),
+        "compressed_bytes": _sum(seg_t, "payload_bytes"),
+        "sha_crc_sum": int(sha_crc),
         "input": source_desc,
     }
     M.write_split_manifest(index_dir, split_id, metrics)
@@ -788,33 +845,33 @@ def _split_from_offsets(info: dict):
     ).cast("int")
 
 
-def _seg_bucket_paths(index_dir: str, buckets: list[int]) -> list[str]:
-    """Existing ``segments/split_*/term_bucket=K`` dirs for the given
-    buckets — the directory-level pruning a per-bucket merge task reads
-    through (explicit dirs, never globs: Spark probes glob paths for
-    streaming-sink metadata and logs spurious stack traces)."""
+def _seg_bucket_paths(index_dir: str,
+                      buckets: list[int]) -> tuple[list[str], list[str]]:
+    """Existing segment inputs for the given buckets, as
+    ``(bucket_dirs, flat_dirs)``: ``segments/split_*/term_bucket=K``
+    dirs for bucket-layout splits — the directory-level pruning a
+    per-bucket merge task reads through — plus whole split dirs for
+    flat-layout splits (single-process builds; the caller filters those
+    on a computed term_bucket instead of pruning). Explicit dirs, never
+    globs: Spark probes glob paths for streaming-sink metadata and logs
+    spurious stack traces."""
     seg_root = os.path.join(index_dir, "segments")
     if not os.path.isdir(seg_root):
-        return []
-    paths = []
+        return [], []
+    bucket_dirs, flat_dirs = [], []
     for d in sorted(os.listdir(seg_root)):
         if not d.startswith("split_"):
             continue
         entries = os.listdir(os.path.join(seg_root, d))
         if (not any(e.startswith("term_bucket=") for e in entries)
                 and any(e.endswith(".parquet") for e in entries)):
-            # a silent empty result here would finalize-commit an index
-            # with zero postings while stats claims n_docs > 0
-            raise ValueError(
-                f"segment {d} uses the pre-bucket layout (parquet files "
-                "with no term_bucket= subdirectories) — it was built by "
-                "an older version; rebuild the segments before "
-                "finalizing")
+            flat_dirs.append(os.path.join(seg_root, d))
+            continue
         for k in buckets:
             p = os.path.join(seg_root, d, f"term_bucket={k}")
             if os.path.isdir(p):
-                paths.append(p)
-    return paths
+                bucket_dirs.append(p)
+    return bucket_dirs, flat_dirs
 
 
 def _replace_dir(dst: str, src: str | None) -> None:
@@ -866,15 +923,21 @@ def finalize_postings_buckets(spark: SparkSession, index_dir: str,
             shutil.rmtree(p)
 
     metrics_by_bucket: dict[int, dict] = {}
-    paths = _seg_bucket_paths(index_dir, buckets)
+    bucket_dirs, flat_dirs = _seg_bucket_paths(index_dir, buckets)
+    paths = bucket_dirs + flat_dirs
     if paths:
         n_buckets = int(info["n_buckets"])
+        # bucket-layout dirs are already pruned to the task's buckets;
+        # flat-layout dirs (single-process builds) carry every bucket,
+        # so filter on the recomputed term_bucket — correct either way,
+        # pruned only for the bucket layout (the fleet's default)
         segs = spark.read.parquet(*paths)
         merged = (
             segs.withColumn("split_id", _split_from_offsets(info))
             .withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+            .where(F.col("term_bucket").isin([int(k) for k in buckets]))
             .groupBy("term", "term_bucket", "split_id")
             .agg(
                 F.sum("df_run").alias("df"),
@@ -975,7 +1038,14 @@ def finalize_docs_splits(spark: SparkSession, index_dir: str,
             .select("doc_id", "repo", "path", "commit", "lang", "dl",
                     "content_sha256", "split_id")
         )
-        docs.write.mode("overwrite").partitionBy("split_id").parquet(tmp)
+        # cluster on the partition column first: the dl join leaves the
+        # rows hash-partitioned on doc_id, and a dynamic partitionBy
+        # write from that emits one file per (task × split) — dozens of
+        # tiny files the query-side docs join must then list and read
+        # per broadcast (the r4 warm-latency slip). This yields ONE
+        # file per split.
+        (docs.repartition("split_id")
+         .write.mode("overwrite").partitionBy("split_id").parquet(tmp))
     for s in splits:
         src = os.path.join(tmp, f"split_id={s}")
         _replace_dir(os.path.join(index_dir, "docs", f"split_id={s}"),
@@ -1275,9 +1345,17 @@ def build_index(
     fail_after_splits: int | None = None,
     max_concurrent_splits: int = 4,
     positions: bool = False,
+    bucket_layout: bool = False,
 ) -> dict:
     """End-to-end resumable build. ``fail_after_splits`` is a test hook
     (C6 kill-resume test): raise after that many split jobs complete.
+
+    ``bucket_layout`` defaults to False here — the single-process build
+    finalizes in one job over every segment, so the fleet layout's
+    per-bucket directory pruning has no customer and its extra shuffle
+    + dynamic-partitioned write per split is pure cost (measured ~25%
+    of the 20k-file build, r4→r5). Pass True when this build's
+    segments will later be finalized by a per-bucket worker fleet.
 
     Re-invoking after a crash resumes: staging is skipped if frozen,
     done splits are skipped via the manifest, finalize re-runs
@@ -1304,7 +1382,8 @@ def build_index(
     def run(split_id: int) -> None:
         build_segment(spark, index_dir, split_id, info,
                       salt_threshold=salt_threshold, n_salts=n_salts,
-                      source_desc=source_desc)
+                      source_desc=source_desc,
+                      bucket_layout=bucket_layout)
 
     t0 = time.time()
     if max_concurrent_splits <= 1 or len(to_run) <= 1:
