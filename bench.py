@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _timed(thunk) -> float:
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -44,6 +50,33 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
     tmp = tempfile.mkdtemp(prefix="bench_idx_")
     timings: dict[str, float] = {}
+
+    # host-state calibration (VERDICT r4 #9): a fixed micro-workload
+    # measured BEFORE the suite so cross-round comparisons on this
+    # virtualized host (±40% same-code swings observed) can decompose
+    # "engine got slower" from "host got slower". Three probes:
+    # cpu = single-core numpy matmul GFLOP/s-ish scalar; spark_job_ms =
+    # best-of-5 one-task Spark job (the fixed per-query floor every
+    # latency key pays); spark_sql_ms = best-of-5 `select 1` collect
+    # (Py4J + analysis floor, no job).
+    rng = np.random.default_rng(0)
+    a = rng.random((1024, 1024))
+    t0 = time.time()
+    n_mm = 0
+    while time.time() - t0 < 2.0:
+        a @ a
+        n_mm += 1
+    cpu_score = n_mm * 2 * 1024**3 / (time.time() - t0) / 1e9
+    spark.range(1, numPartitions=1).count()  # JVM warm
+    job_ms = min(
+        _timed(lambda: spark.range(1, numPartitions=1).count())
+        for _ in range(5)) * 1000
+    sql_ms = min(_timed(lambda: spark.sql("select 1").collect())
+                 for _ in range(5)) * 1000
+    calibration = {"cpu_matmul_gflops": round(cpu_score, 2),
+                   "spark_job_ms": round(job_ms, 1),
+                   "spark_sql_ms": round(sql_ms, 1)}
+
     t_suite = time.time()
 
     # 1. documents index (the driver fixture corpus) — POSITIONAL since
@@ -196,6 +229,7 @@ def main() -> None:
             # per-phase breakdown of the headline build so a throughput
             # delta attributes to a phase, not just the total
             "corpus_build_phase_sec": merge.get("phase_sec", {}),
+            "host_calibration": calibration,
         },
     }
     shutil.rmtree(tmp, ignore_errors=True)

@@ -245,3 +245,41 @@ def test_term_stats_fused_equals_operator_chain(spark):
             assert len(got) == len(exp) > 0, (mode, positions)
             for g, e in zip(got, exp):
                 assert tuple(g) == tuple(e), (mode, positions, g, e)
+
+
+def test_docs_one_file_per_split(doc_index):
+    """Docs finalize clusters on split_id before the partitioned write,
+    so each ``docs/split_id=N`` holds exactly ONE parquet file — the
+    query-side display/facet join lists O(n_splits) files, not
+    O(n_splits × write_tasks) (the r4 warm-latency regression)."""
+    import glob
+    import os
+
+    from datastream_io_spark.operators.build import read_stats
+
+    n_splits = read_stats(doc_index)["n_splits"]
+    split_dirs = sorted(glob.glob(os.path.join(doc_index, "docs",
+                                               "split_id=*")))
+    assert len(split_dirs) == n_splits
+    for d in split_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_searcher_caches_resolved_scans(spark, doc_index):
+    """The warm Searcher resolves the postings/docs scans ONCE —
+    spark.read.parquet re-lists the directory per call (~140 ms at 14
+    files, r5 profile), which was the largest warm-query slice. Parity
+    with the cold path is covered by the existing search suites; this
+    pins the caching itself."""
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher,
+        search_indexed,
+    )
+
+    s = Searcher(spark, doc_index)
+    assert s._postings_df is not None and s._docs_df is not None
+    warm = s.search("scan", 5, "and", with_doc_cols=True).collect()
+    cold = search_indexed(spark, doc_index, "scan", 5, "and",
+                          with_doc_cols=True).collect()
+    assert [tuple(r) for r in warm] == [tuple(r) for r in cold]
