@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # finalize/merge read MANY explicit directories (per-bucket
+        # segment dirs: n_splits × buckets roots). Past this threshold
+        # Spark launches a DISTRIBUTED listing job — one tiny task per
+        # root (256-task Stage 0 measured as ~80% of a 2-core finalize
+        # call). Driver-side listing of a few thousand dirs is
+        # milliseconds on any FS; a real deployment with >10k segment
+        # dirs per task should lower it again.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "4096")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -51,15 +51,30 @@ import json
 import sys
 
 
-def _pull_concurrently(mine, run, concurrency: int) -> list:
+def _pull_concurrently(mine, run, concurrency: int,
+                       batch: int = 1) -> list:
     """Drain a lazily-claiming iterator from ``concurrency`` puller
     threads. NOT Executor.map: that drains the iterable eagerly, which
-    would claim every pending task up front and forfeit stealing."""
+    would claim every pending task up front and forfeit stealing.
+
+    ``batch`` > 1 pulls up to that many claims at once and hands the
+    LIST to ``run`` in one call — the stage/finalize task bodies
+    (stage_splits, finalize_postings_buckets, finalize_docs_splits)
+    accept arbitrary item lists and write one marker per item, so a
+    batch runs as ONE Spark job instead of ``batch`` launches. At
+    emulation scale the fixed job-launch cost was 50-60% of those
+    phases' wall (r5 measurement); on a real cluster the same batching
+    turns W executors × T tasks into W jobs. Stealing granularity
+    coarsens to the batch — size it ≈ tasks / (concurrency × workers)
+    so every lane still gets work."""
     built: list = []
     if concurrency <= 1:
-        for t in mine:
-            built.append(run(t))
-        return built
+        while True:
+            ts = [t for t in (next(mine, None) for _ in range(batch))
+                  if t is not None]
+            if not ts:
+                return built
+            built.append(run(ts if batch > 1 else ts[0]))
     import threading
 
     it_lock = threading.Lock()
@@ -68,11 +83,12 @@ def _pull_concurrently(mine, run, concurrency: int) -> list:
     def puller() -> None:
         while True:
             with it_lock:
-                t = next(mine, None)
-            if t is None:
+                ts = [t for t in (next(mine, None) for _ in range(batch))
+                      if t is not None]
+            if not ts:
                 return
             try:
-                built.append(run(t))
+                built.append(run(ts if batch > 1 else ts[0]))
             except BaseException as exc:  # propagate to main thread
                 errors.append(exc)
                 return
@@ -106,6 +122,14 @@ def main(argv: list[str]) -> int:
     p.add_argument("--salt-threshold", type=int, default=1 << 20)
     p.add_argument("--salts", type=int, default=8)
     p.add_argument("--concurrency", type=int, default=4)
+    p.add_argument("--claim-batch", type=int, default=1,
+                   help="stage/finalize claims pulled per Spark job "
+                        "(default 1 = one job per claim). The task "
+                        "bodies take item lists, so a batch of B claims "
+                        "runs as ONE job — amortizes the fixed job-"
+                        "launch cost that dominates these phases at "
+                        "small per-task data. Size ≈ n_tasks / "
+                        "(concurrency × n_workers)")
     p.add_argument("--stage-chunk", type=int, default=None,
                    help="splits per stage task (every worker of a fleet "
                         "must pass the SAME value — chunk claims are "
@@ -160,11 +184,15 @@ def main(argv: list[str]) -> int:
                 if undone and claim_task(args.index,
                                          f"sclaim_c{c:04d}", owner):
                     yield undone
-        built = _pull_concurrently(
-            chunks(),
-            lambda ss: (stage_splits(spark, corpus, args.index, ss,
-                                     plan), ss)[1],
-            args.concurrency)
+        def run_stage(claimed):
+            ss = (sorted({s for c in claimed for s in c})
+                  if args.claim_batch > 1 else claimed)
+            stage_splits(spark, corpus, args.index, ss, plan)
+            return ss
+
+        built = _pull_concurrently(chunks(), run_stage,
+                                   args.concurrency,
+                                   batch=args.claim_batch)
         staged = sorted(s for ss in built for s in ss)
         print(f"stage worker: staged {len(staged)} splits {staged}")
         return 0
@@ -182,11 +210,13 @@ def main(argv: list[str]) -> int:
             info = json.load(f)
 
         def run_task(task):
-            kind, i = task
-            if kind == "b":
-                finalize_postings_buckets(spark, args.index, info, [i])
-            else:
-                finalize_docs_splits(spark, args.index, info, [i])
+            tasks = task if args.claim_batch > 1 else [task]
+            bs = sorted(i for kind, i in tasks if kind == "b")
+            ds = sorted(i for kind, i in tasks if kind == "d")
+            if bs:
+                finalize_postings_buckets(spark, args.index, info, bs)
+            if ds:
+                finalize_docs_splits(spark, args.index, info, ds)
             return task
 
         tasks = (
@@ -201,7 +231,8 @@ def main(argv: list[str]) -> int:
                 else f"fin_docs_{t[1]:04d}") is None
             and claim_task(args.index, f"fclaim_{t[0]}{t[1]:04d}", owner)
         )
-        built = _pull_concurrently(mine, run_task, args.concurrency)
+        built = _pull_concurrently(mine, run_task, args.concurrency,
+                                   batch=args.claim_batch)
         print(f"finalize worker: ran {len(built)} tasks")
         return 0
 

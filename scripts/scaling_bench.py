@@ -59,6 +59,26 @@ N_BUCKETS = 32
 SALT_THRESHOLD = 100_000
 N_SALTS = 8
 
+
+def _warm(spark):
+    # steady-state convention: JVM provisioning AND first-use codegen/
+    # Arrow-worker spin-up are excluded (a cluster executor is warm
+    # from prior stages). Exercise the code paths the phases use:
+    # parquet write+read, hash agg shuffle, window, and a pandas UDF.
+    import pandas as _pd
+    import tempfile as _tf
+    from pyspark.sql import functions as _F, Window as _W
+    d = _tf.mkdtemp(prefix="warm_")
+    df = spark.range(2000).withColumn("k", _F.pmod("id", _F.lit(7)))
+    df.write.mode("overwrite").parquet(d + "/p")
+    r = spark.read.parquet(d + "/p")
+    r.groupBy("k").agg(_F.count("*"), _F.collect_list("id")).collect()
+    r.withColumn("rn", _F.row_number().over(
+        _W.partitionBy("k").orderBy("id"))).where("rn=1").collect()
+    r.groupBy("k").applyInPandas(
+        lambda pdf: pdf.head(1), r.schema).collect()
+    r.select(_F.sha2(_F.conv("id", 10, 16), 256)).collect()
+
 GEN_CODE = r"""
 import sys; sys.path.insert(0, {repo!r})
 from datastream_io_spark.session import get_spark
@@ -82,6 +102,27 @@ from datastream_io_spark.session import get_spark
 from datastream_io_spark.operators.build import stage_plan
 cores = int(sys.argv[4])
 spark = get_spark("plan", cores=cores, shuffle_partitions=2*cores)
+
+def _warm(spark):
+    # steady-state convention: JVM provisioning AND first-use codegen/
+    # Arrow-worker spin-up are excluded (a cluster executor is warm
+    # from prior stages). Exercise the code paths the phases use:
+    # parquet write+read, hash agg shuffle, window, and a pandas UDF.
+    import pandas as _pd
+    import tempfile as _tf
+    from pyspark.sql import functions as _F, Window as _W
+    d = _tf.mkdtemp(prefix="warm_")
+    df = spark.range(2000).withColumn("k", _F.pmod("id", _F.lit(7)))
+    df.write.mode("overwrite").parquet(d + "/p")
+    r = spark.read.parquet(d + "/p")
+    r.groupBy("k").agg(_F.count("*"), _F.collect_list("id")).collect()
+    r.withColumn("rn", _F.row_number().over(
+        _W.partitionBy("k").orderBy("id"))).where("rn=1").collect()
+    r.groupBy("k").applyInPandas(
+        lambda pdf: pdf.head(1), r.schema).collect()
+    r.select(_F.sha2(_F.conv("id", 10, 16), 256)).collect()
+
+_warm(spark)
 corpus = spark.read.parquet(sys.argv[1])
 t0 = time.time()
 stage_plan(spark, corpus, sys.argv[2], int(sys.argv[3]), 32, "code")
@@ -100,21 +141,56 @@ wid, cores, barrier, index = (int(sys.argv[1]), int(sys.argv[2]),
                               sys.argv[3], sys.argv[4])
 spark = get_spark(f"w{{wid}}", cores=cores, shuffle_partitions=2*cores)
 %(setup)s
-spark.range(10).count()
+
+def _warm(spark):
+    # steady-state convention: JVM provisioning AND first-use codegen/
+    # Arrow-worker spin-up are excluded (a cluster executor is warm
+    # from prior stages). Exercise the code paths the phases use:
+    # parquet write+read, hash agg shuffle, window, and a pandas UDF.
+    import pandas as _pd
+    import tempfile as _tf
+    from pyspark.sql import functions as _F, Window as _W
+    d = _tf.mkdtemp(prefix="warm_")
+    df = spark.range(2000).withColumn("k", _F.pmod("id", _F.lit(7)))
+    df.write.mode("overwrite").parquet(d + "/p")
+    r = spark.read.parquet(d + "/p")
+    r.groupBy("k").agg(_F.count("*"), _F.collect_list("id")).collect()
+    r.withColumn("rn", _F.row_number().over(
+        _W.partitionBy("k").orderBy("id"))).where("rn=1").collect()
+    r.groupBy("k").applyInPandas(
+        lambda pdf: pdf.head(1), r.schema).collect()
+    r.select(_F.sha2(_F.conv("id", 10, 16), 256)).collect()
+
+_warm(spark)
 open(f"{{barrier}}/ready_{{wid}}", "w").close()
 while not os.path.exists(f"{{barrier}}/go"):
     time.sleep(0.05)
 mine = iter(tasks())
 lk = threading.Lock()
 errs = []
+# BATCH claims are pulled per iteration and run as ONE Spark job where
+# the phase defines run_many (stage/finalize task bodies take item
+# lists + write per-item markers): at emulation scale the fixed
+# job-launch cost was 50-60%% of those phases' wall. Stealing coarsens
+# to the batch; the harness sizes it ≈ tasks/(2 threads × workers) so
+# every lane still pulls work.
+try:
+    BATCH
+except NameError:
+    BATCH = 1
+if "run_many" not in dir():
+    def run_many(ts):
+        for t in ts:
+            run(t)
 def puller():
     while True:
         with lk:
-            t = next(mine, None)
-        if t is None:
+            ts = [t for t in (next(mine, None) for _ in range(BATCH))
+                  if t is not None]
+        if not ts:
             return
         try:
-            run(t)
+            run_many(ts)
         except BaseException as exc:
             errs.append(exc)
             return
@@ -126,7 +202,7 @@ if errs:
 """
 
 STAGE_WORKER_CODE = _FLEET_TMPL % {"setup": r"""
-src, chunk = sys.argv[5], int(sys.argv[6])
+src, chunk, BATCH = sys.argv[5], int(sys.argv[6]), int(sys.argv[7])
 from datastream_io_spark.operators.build import stage_splits
 plan = json.load(open(f"{{index}}/staging_plan.json"))
 corpus = spark.read.parquet(src)
@@ -138,8 +214,9 @@ def tasks():
                   if read_task_marker(index, f"stage_{{s:04d}}") is None]
         if undone and claim_task(index, f"sclaim_c{{c:04d}}", f"w{{wid}}"):
             yield undone
-def run(splits):
-    stage_splits(spark, corpus, index, splits, plan)
+def run_many(chunks):
+    stage_splits(spark, corpus, index,
+                 sorted({{s for c in chunks for s in c}}), plan)
 """}
 
 SEG_WORKER_CODE = _FLEET_TMPL % {"setup": r"""
@@ -155,7 +232,8 @@ def run(s):
 """ % {"salt": SALT_THRESHOLD, "salts": N_SALTS}}
 
 FIN_WORKER_CODE = _FLEET_TMPL % {"setup": r"""
-bchunk, dchunk = int(sys.argv[5]), int(sys.argv[6])
+bchunk, dchunk, BATCH = (int(sys.argv[5]), int(sys.argv[6]),
+                         int(sys.argv[7]))
 from datastream_io_spark.operators.build import (
     finalize_docs_splits, finalize_postings_buckets)
 info = json.load(open(f"{{index}}/staging.json"))
@@ -173,12 +251,15 @@ def tasks():
                   if read_task_marker(index, f"fin_docs_{{s:04d}}") is None]
         if undone and claim_task(index, f"fclaim_dc{{c:04d}}", f"w{{wid}}"):
             yield ("d", undone)
-def run(task):
-    kind, items = task
-    if kind == "b":
-        finalize_postings_buckets(spark, index, info, items)
-    else:
-        finalize_docs_splits(spark, index, info, items)
+def run_many(ts):
+    bs = sorted({{k for kind, items in ts if kind == "b"
+                  for k in items}})
+    ds = sorted({{s for kind, items in ts if kind == "d"
+                  for s in items}})
+    if bs:
+        finalize_postings_buckets(spark, index, info, bs)
+    if ds:
+        finalize_docs_splits(spark, index, info, ds)
 """}
 
 QUERY_CODE = r"""
@@ -187,6 +268,27 @@ from datastream_io_spark.session import get_spark
 from datastream_io_spark.operators.indexed_search import search_indexed
 index, out, cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
 spark = get_spark("queries", cores=cores, shuffle_partitions=2*cores)
+
+def _warm(spark):
+    # steady-state convention: JVM provisioning AND first-use codegen/
+    # Arrow-worker spin-up are excluded (a cluster executor is warm
+    # from prior stages). Exercise the code paths the phases use:
+    # parquet write+read, hash agg shuffle, window, and a pandas UDF.
+    import pandas as _pd
+    import tempfile as _tf
+    from pyspark.sql import functions as _F, Window as _W
+    d = _tf.mkdtemp(prefix="warm_")
+    df = spark.range(2000).withColumn("k", _F.pmod("id", _F.lit(7)))
+    df.write.mode("overwrite").parquet(d + "/p")
+    r = spark.read.parquet(d + "/p")
+    r.groupBy("k").agg(_F.count("*"), _F.collect_list("id")).collect()
+    r.withColumn("rn", _F.row_number().over(
+        _W.partitionBy("k").orderBy("id"))).where("rn=1").collect()
+    r.groupBy("k").applyInPandas(
+        lambda pdf: pdf.head(1), r.schema).collect()
+    r.select(_F.sha2(_F.conv("id", 10, 16), 256)).collect()
+
+_warm(spark)
 results, qlat = {{}}, {{}}
 for q, mode in [("parseConfig", "and"), ("parse config", "and"),
                ("import os error", "or"), ("ident_4999", "or")]:
@@ -250,12 +352,25 @@ def build_at(src: str, n_splits: int, n_workers: int, cores_each: int,
     s_chunk = max(1, n_splits // 16)
     b_chunk = max(1, N_BUCKETS // 16)
     d_chunk = s_chunk
+    # claims batched so each of the fleet's 2×n_workers puller lanes
+    # runs ~one Spark job per phase (task bodies take item lists); the
+    # 16-task ledger and its markers are unchanged at both sizes
+    n_chunks = (n_splits + s_chunk - 1) // s_chunk
+    s_batch = max(1, n_chunks // (2 * n_workers))
+    # finalize claims = bucket chunks THEN docs chunks from one
+    # iterator — size the batch over BOTH ledgers so each of the
+    # 2×n_workers lanes makes ~one task-body call (the per-call fixed
+    # cost, ~2 s of Spark-job launches at 2 cores, dominated the phase
+    # when every chunk was its own call)
+    n_fin_chunks = ((N_BUCKETS + b_chunk - 1) // b_chunk
+                    + (n_splits + d_chunk - 1) // d_chunk)
+    f_batch = max(1, n_fin_chunks // (2 * n_workers))
 
     p = run_py(PLAN_CODE, src, idx, str(n_splits), str(coord_cores))
     plan_sec = float([line for line in p.splitlines()
                       if line.startswith("PLAN_SEC")][0].split()[1])
     stage_fleet = run_fleet(STAGE_WORKER_CODE, n_workers, cores_each,
-                            idx, src, str(s_chunk))
+                            idx, src, str(s_chunk), str(s_batch))
     t0 = time.time()
     with open(f"{idx}/staging_plan.json") as f:
         stage_commit(idx, json.load(f))
@@ -276,7 +391,7 @@ def build_at(src: str, n_splits: int, n_workers: int, cores_each: int,
     finalize_reset(idx)
     reset_sec = time.time() - t0
     fin_fleet = run_fleet(FIN_WORKER_CODE, n_workers, cores_each, idx,
-                          str(b_chunk), str(d_chunk))
+                          str(b_chunk), str(d_chunk), str(f_batch))
     t0 = time.time()
     with open(f"{idx}/staging.json") as f:
         finalize_commit(idx, json.load(f),
