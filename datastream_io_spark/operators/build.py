@@ -317,15 +317,19 @@ def stage_corpus(
     n_buckets: int,
     tokenizer: str,
     positions: bool = False,
+    store_content: bool = False,
 ) -> dict:
     """Phase A. Returns the frozen staging info. Skipped when already
-    staged — doc ids are FROZEN across resumes (SURVEY.md §3.1)."""
+    staged — doc ids are FROZEN across resumes (SURVEY.md §3.1).
+    ``store_content`` makes finalize carry the raw content into
+    ``docs/`` so the served index answers snippets without the source
+    corpus mounted (see :func:`finalize_docs_splits`)."""
     check_not_purged(index_dir, "a staging resume")
     if os.path.exists(_staging_path(index_dir)):
         with open(_staging_path(index_dir)) as f:
             info = json.load(f)
         _check_frozen(info, index_dir, n_splits, n_buckets, tokenizer,
-                      positions)
+                      positions, store_content)
         return info
     if os.path.exists(_staging_plan_path(index_dir)):
         raise RuntimeError(
@@ -376,6 +380,7 @@ def stage_corpus(
         "n_buckets": n_buckets,
         "tokenizer": tokenizer,
         "positions": positions,
+        "store_content": bool(store_content),
         "split_counts": {str(k): v for k, v in counts.items()},
         "split_offsets": {str(k): v for k, v in offsets.items()},
     }
@@ -388,13 +393,16 @@ def _staging_plan_path(index_dir: str) -> str:
 
 
 def _check_frozen(existing: dict, index_dir: str, n_splits: int,
-                  n_buckets: int, tokenizer: str, positions: bool) -> None:
+                  n_buckets: int, tokenizer: str, positions: bool,
+                  store_content: bool = False) -> None:
     frozen = {"n_splits": existing["n_splits"],
               "n_buckets": existing["n_buckets"],
               "tokenizer": existing["tokenizer"],
-              "positions": bool(existing.get("positions", False))}
+              "positions": bool(existing.get("positions", False)),
+              "store_content": bool(existing.get("store_content", False))}
     asked = {"n_splits": n_splits, "n_buckets": n_buckets,
-             "tokenizer": tokenizer, "positions": bool(positions)}
+             "tokenizer": tokenizer, "positions": bool(positions),
+             "store_content": bool(store_content)}
     if frozen != asked:
         raise ValueError(
             f"index at {index_dir} was staged with {frozen}, resume "
@@ -410,6 +418,7 @@ def stage_plan(
     n_buckets: int,
     tokenizer: str,
     positions: bool = False,
+    store_content: bool = False,
 ) -> dict:
     """Sharded phase A, coordinator step: ONE aggregation job counting
     the distinct doc keys per split (a key's duplicates all hash to one
@@ -426,13 +435,13 @@ def stage_plan(
         with open(_staging_path(index_dir)) as f:
             info = json.load(f)
         _check_frozen(info, index_dir, n_splits, n_buckets, tokenizer,
-                      positions)
+                      positions, store_content)
         return info
     if os.path.exists(_staging_plan_path(index_dir)):
         with open(_staging_plan_path(index_dir)) as f:
             plan = json.load(f)
         _check_frozen(plan, index_dir, n_splits, n_buckets, tokenizer,
-                      positions)
+                      positions, store_content)
         return plan
     os.makedirs(index_dir, exist_ok=True)
     # per-key first: a key whose duplicates straddle splits (a
@@ -477,6 +486,7 @@ def stage_plan(
         "n_buckets": n_buckets,
         "tokenizer": tokenizer,
         "positions": positions,
+        "store_content": bool(store_content),
         "split_counts": {str(k): v for k, v in counts.items()},
         "split_offsets": {str(k): v for k, v in offsets.items()},
     }
@@ -1035,11 +1045,19 @@ def finalize_docs_splits(spark: SparkSession, index_dir: str,
             for s in nonempty
         ]
         dl_dirs = [d for d in dl_dirs if os.path.isdir(d)]
+        # store_content: the raw content rides into docs/ as one more
+        # column — split-aligned, zstd like every parquet write, and
+        # invisible to metadata reads (column pruning: display/facet
+        # joins select only the meta columns). The served index then
+        # answers snippets with the source corpus unmounted, and the
+        # staging copy can be dropped after finalize.
+        store = bool(info.get("store_content", False))
+        meta_cols = ["doc_id", "repo", "path", "commit", "lang",
+                     "content_sha256", "split_id"]
         staged = (
             spark.read.parquet(os.path.join(index_dir, "staged_corpus"))
             .where(F.col("split_id").isin(nonempty))
-            .select("doc_id", "repo", "path", "commit", "lang",
-                    "content_sha256", "split_id")
+            .select(*meta_cols, *(["content"] if store else []))
         )
         if dl_dirs:
             dl_per_doc = spark.read.parquet(*dl_dirs).select("doc_id", "dl")
@@ -1049,7 +1067,8 @@ def finalize_docs_splits(spark: SparkSession, index_dir: str,
         docs = (
             staged.withColumn("dl", F.coalesce("dl", F.lit(0)).cast("long"))
             .select("doc_id", "repo", "path", "commit", "lang", "dl",
-                    "content_sha256", "split_id")
+                    "content_sha256", "split_id",
+                    *(["content"] if store else []))
         )
         # cluster on the partition column first: the dl join leaves the
         # rows hash-partitioned on doc_id, and a dynamic partitionBy
@@ -1359,6 +1378,7 @@ def build_index(
     max_concurrent_splits: int = 4,
     positions: bool = False,
     bucket_layout: bool = False,
+    store_content: bool = False,
 ) -> dict:
     """End-to-end resumable build. ``fail_after_splits`` is a test hook
     (C6 kill-resume test): raise after that many split jobs complete.
@@ -1384,7 +1404,8 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
     info = stage_corpus(spark, corpus, index_dir, n_splits, n_buckets,
-                        tokenizer, positions=positions)
+                        tokenizer, positions=positions,
+                        store_content=store_content)
     t_stage = time.time() - t0
     pending = M.pending_splits(index_dir, info["n_splits"])
     if fail_after_splits is not None:

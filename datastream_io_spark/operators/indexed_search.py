@@ -759,9 +759,9 @@ def match_positions(spark: SparkSession, index_dir: str, query: str,
     return prows.mapInPandas(kernel, "doc_id long, term string, pos int")
 
 
-def snippets(spark: SparkSession, index_dir: str, corpus: DataFrame,
-             query: str, k: int = 10, mode: str = "and",
-             width: int = 12) -> DataFrame:
+def snippets(spark: SparkSession, index_dir: str,
+             corpus: DataFrame | None, query: str, k: int = 10,
+             mode: str = "and", width: int = 12) -> DataFrame:
     """Q16 — display snippets: for each top-k hit, the ``width``-token
     window of its content holding the densest cluster of query-term
     matches. Composes Q8 (top-k) + Q10 (index-side positions) with ONE
@@ -774,9 +774,9 @@ def snippets(spark: SparkSession, index_dir: str, corpus: DataFrame,
     in [start, start + width); ties pick the smallest start. The
     snippet is the space-joined tokens of that window — token form (the
     index's own normalization), not raw text. ``corpus`` supplies the
-    content keyed by (repo, path, commit); the served index stores no
-    content. Returns DF[doc_id, score, snippet, n_hits] in (score desc,
-    doc_id asc) order, where n_hits counts matches inside the window."""
+    content keyed by (repo, path, commit). Returns
+    DF[doc_id, score, snippet, n_hits] in (score desc, doc_id asc)
+    order, where n_hits counts matches inside the window."""
     from datastream_io_spark.functions.tokenize import tokenizer_for
 
     stats = read_stats(index_dir)
@@ -791,17 +791,32 @@ def snippets(spark: SparkSession, index_dir: str, corpus: DataFrame,
                          [r.doc_id for r in top])
     pos_of = mp.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("pos")).alias("mpos"))
-    meta = spark.createDataFrame(
-        [(r.doc_id, r.repo, r.path, r.commit, r.score) for r in top],
-        "doc_id long, repo string, path string, commit string, "
-        "score double")
-    # corpus is the big side: scan it once, broadcast the ≤k metadata
-    with_text = (
-        corpus.join(F.broadcast(meta), ["repo", "path", "commit"])
-        .dropDuplicates(["doc_id"])
-        .join(F.broadcast(pos_of), "doc_id")
-        .select("doc_id", "score", "content", "mpos")
-    )
+    if corpus is None:
+        docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        if "content" not in docs.columns:
+            raise ValueError(
+                f"index at {index_dir} stores no content (built without "
+                "store_content=True) — pass the source corpus DataFrame")
+        scores = spark.createDataFrame(
+            [(r.doc_id, r.score) for r in top],
+            "doc_id long, score double")
+        with_text = (
+            docs.join(F.broadcast(scores), "doc_id")
+            .join(F.broadcast(pos_of), "doc_id")
+            .select("doc_id", "score", "content", "mpos")
+        )
+    else:
+        meta = spark.createDataFrame(
+            [(r.doc_id, r.repo, r.path, r.commit, r.score) for r in top],
+            "doc_id long, repo string, path string, commit string, "
+            "score double")
+        # corpus is the big side: scan it once, broadcast the ≤k metadata
+        with_text = (
+            corpus.join(F.broadcast(meta), ["repo", "path", "commit"])
+            .dropDuplicates(["doc_id"])
+            .join(F.broadcast(pos_of), "doc_id")
+            .select("doc_id", "score", "content", "mpos")
+        )
     pure, _ = tokenizer_for(stats["tokenizer"])
 
     def kernel(it):

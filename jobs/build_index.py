@@ -35,6 +35,11 @@ def main(argv: list[str]) -> int:
                    help="store per-posting token positions (enables "
                         "--mode phrase in jobs/search.py; ~60%% more "
                         "index bytes)")
+    p.add_argument("--store-content", action="store_true",
+                   help="carry raw content into docs/ (split-aligned, "
+                        "zstd) so the served index answers snippets "
+                        "without the source corpus mounted; composes "
+                        "with --drop-staged")
     p.add_argument("--drop-staged", action="store_true",
                    help="delete the staged corpus copy after finalize")
     p.add_argument("--stage-only", action="store_true",
@@ -106,14 +111,16 @@ def main(argv: list[str]) -> int:
     if args.plan_only:
         plan = stage_plan(spark, corpus, args.out, args.splits,
                           args.buckets, args.tokenizer,
-                          positions=args.positions)
+                          positions=args.positions,
+                          store_content=args.store_content)
         print(f"planned: n_docs={plan['n_docs']} "
               f"splits={plan['n_splits']}")
         return 0
     if args.stage_only:
         info = stage_corpus(spark, corpus, args.out, args.splits,
                             args.buckets, args.tokenizer,
-                            positions=args.positions)
+                            positions=args.positions,
+                            store_content=args.store_content)
         print(f"staged: n_docs={info['n_docs']} splits={info['n_splits']}")
         return 0
     if args.finalize_only:
@@ -132,6 +139,7 @@ def main(argv: list[str]) -> int:
         tokenizer=args.tokenizer, salt_threshold=args.salt_threshold,
         n_salts=args.salts, source_desc=f"{args.fmt}:{args.src}",
         max_concurrent_splits=args.concurrency, positions=args.positions,
+        store_content=args.store_content,
     )
     if args.drop_staged:
         drop_staged_corpus(args.out)

@@ -30,6 +30,15 @@ def main(argv: list[str]) -> int:
     p.add_argument("--facet", default=None, metavar="COL",
                    help="instead of top-k rows, print per-COL counts of "
                         "ALL docs matching the query (and/or/phrase)")
+    p.add_argument("--snippets", action="store_true",
+                   help="print a match-window snippet per hit "
+                        "(and/or/phrase). Content comes from --src, or "
+                        "from the index's own doc store when built with "
+                        "--store-content and --src is omitted")
+    p.add_argument("--src", default=None,
+                   help="source corpus parquet for --snippets (optional "
+                        "on a store_content index)")
+    p.add_argument("--snippet-width", type=int, default=12)
     p.add_argument("--relational", action="store_true",
                    help="also run the index-free relational path (self-oracle)")
     args = p.parse_args(argv)
@@ -38,10 +47,25 @@ def main(argv: list[str]) -> int:
 
     from datastream_io_spark.operators.boolean_search import search_boolean
     from datastream_io_spark.operators.indexed_search import (
-        facet_counts, search_fuzzy, search_indexed, search_wildcard)
+        facet_counts, search_fuzzy, search_indexed, search_wildcard,
+        snippets)
 
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
+    if args.snippets:
+        if args.mode in ("boolean", "wildcard", "fuzzy"):
+            p.error("--snippets supports modes and/or/phrase")
+        corpus = (spark.read.parquet(args.src)
+                  if args.src is not None else None)
+        rows = snippets(spark, args.index, corpus, args.query, args.k,
+                        args.mode, width=args.snippet_width).collect()
+        dt = time.time() - t0
+        for r in rows:
+            print(f"{r['score']:12.6f}  doc={r['doc_id']:<6} "
+                  f"[{r['n_hits']}] {r['snippet']}")
+        print(f"-- {len(rows)} snippets in {dt * 1000:.0f} ms "
+              f"(mode={args.mode})")
+        return 0
     if args.facet is not None:
         if args.mode in ("boolean", "wildcard", "fuzzy"):
             p.error("--facet supports modes and/or/phrase")
