@@ -116,6 +116,31 @@ BATCH_SEGMENT_SCHEMA = T.StructType(
     + [T.StructField("payload_bytes", T.LongType())]
 )
 
+# the finalized postings layout (term_bucket is the hive partition
+# column). Readers pass it explicitly: inference reads a footer —
+# a per-call fixed cost on the query path — and parquet's nested
+# schema evolution returns poss=None on non-positional indexes.
+POSTINGS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("split_id", T.IntegerType()),
+    T.StructField("df", T.LongType()),
+    T.StructField("cf", T.LongType()),
+    T.StructField("first_doc_id", T.LongType()),
+    T.StructField("last_doc_id", T.LongType()),
+    T.StructField("blocks", T.ArrayType(T.StructType([
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("max_doc_id", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_dl", T.IntegerType()),
+        T.StructField("docs", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+        T.StructField("poss", T.BinaryType()),
+    ]))),
+    T.StructField("term_bucket", T.IntegerType()),
+])
+
 
 class maintenance_lock:
     """Single-writer guard for index maintenance (delete / purge /

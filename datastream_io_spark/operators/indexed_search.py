@@ -134,7 +134,8 @@ class Searcher:
         # slice). Safe under the staleness contract above: tombstones
         # live elsewhere, and purge/merge/rebuild already require a new
         # Searcher.
-        self._postings_df = spark.read.parquet(
+        from datastream_io_spark.operators.build import POSTINGS_SCHEMA
+        self._postings_df = spark.read.schema(POSTINGS_SCHEMA).parquet(
             os.path.join(index_dir, "postings"))
         self._docs_df = spark.read.parquet(
             os.path.join(index_dir, "docs"))
@@ -1587,8 +1588,10 @@ def postings_rows(spark: SparkSession, index_dir: str, buckets: list,
     a footer schema on EVERY call (~140 ms at 14 files, growing with
     file count), which was the single largest slice of warm-query
     latency (r5 profile)."""
+    from datastream_io_spark.operators.build import POSTINGS_SCHEMA
     postings = (postings_df if postings_df is not None
-                else spark.read.parquet(os.path.join(index_dir, "postings")))
+                else spark.read.schema(POSTINGS_SCHEMA).parquet(
+                    os.path.join(index_dir, "postings")))
     return postings.where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     ).select("split_id", "term", "blocks")
