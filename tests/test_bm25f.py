@@ -95,3 +95,103 @@ def test_bm25f_weight_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="lacks field"):
         build_bm25f_index(spark, corpus, str(tmp_path / "y"),
                           field_weights={"nope": 2})
+
+
+# --- runtime-weighted BM25F (r5: per-field indexes + query-time merge) ---
+
+
+@pytest.fixture(scope="module")
+def field_root(spark, tmp_path_factory):
+    from datastream_io_spark.operators.bm25f import (
+        build_bm25f_field_indexes,
+    )
+
+    root = str(tmp_path_factory.mktemp("bm25f_fields"))
+    build_bm25f_field_indexes(
+        spark, documents_as_corpus(spark, SF0001), root,
+        fields=("path", "content"), n_splits=3, n_buckets=8,
+        tokenizer="simple", salt_threshold=50, n_salts=4)
+    return root
+
+
+def test_field_indexes_share_doc_ids(spark, field_root):
+    """Doc-id assignment is a pure function of the key set, so the
+    per-field indexes agree id-for-id — the join key of the runtime
+    merge."""
+    a = {(r.doc_id, r.repo, r.path, r.commit) for r in spark.read.parquet(
+        f"{field_root}/field=path/docs").collect()}
+    b = {(r.doc_id, r.repo, r.path, r.commit) for r in spark.read.parquet(
+        f"{field_root}/field=content/docs").collect()}
+    assert a == b and a
+
+
+def test_runtime_weights_match_rebuilt_repetition_index(
+        spark, field_root, bm25f_index):
+    """The VERDICT r4 done-criterion: reweight-without-rebuild equals a
+    repetition index REBUILT at the same integer weights, scores to
+    1e-9."""
+    from datastream_io_spark.operators.bm25f import search_bm25f
+
+    for q, mode in [("window agg", "and"), ("window agg", "or"),
+                    ("scan", "and")]:
+        want = search_indexed(spark, bm25f_index, q, 10, mode).collect()
+        got = search_bm25f(spark, field_root, q, WEIGHTS, 10,
+                           mode).collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], (q, mode)
+        for g, w in zip(got, want):
+            assert abs(g.score - w.score) < 1e-9, (q, g, w)
+
+
+def test_runtime_weights_are_runtime(spark, field_root):
+    """Changing weights is a parameter: same root, different weights,
+    different (valid) rankings — and a path-heavy weighting favors the
+    doc whose path matches."""
+    from datastream_io_spark.operators.bm25f import search_bm25f
+
+    light = search_bm25f(spark, field_root, "window agg",
+                         {"path": 1, "content": 1}, 20, "or").collect()
+    heavy = search_bm25f(spark, field_root, "window agg",
+                         {"path": 10, "content": 1}, 20, "or").collect()
+    assert light and heavy
+    assert [r.doc_id for r in light] != [r.doc_id for r in heavy] or \
+        any(abs(a.score - b.score) > 1e-9
+            for a, b in zip(light, heavy))
+    # float weights are accepted
+    frac = search_bm25f(spark, field_root, "window agg",
+                        {"path": 2.5, "content": 0.5}, 5, "or").collect()
+    assert frac
+
+
+def test_runtime_bm25f_deterministic_across_parallelism(
+        spark, field_root):
+    """Same query, shuffle-partition settings 3 and 17: identical ids
+    AND bit-identical scores (the sorted-fold discipline)."""
+    from datastream_io_spark.operators.bm25f import search_bm25f
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = search_bm25f(spark, field_root, "window agg",
+                         {"path": 1.5, "content": 1.0}, 10,
+                         "and").collect()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = search_bm25f(spark, field_root, "window agg",
+                         {"path": 1.5, "content": 1.0}, 10,
+                         "and").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert [(r.doc_id, r.score) for r in a] == \
+        [(r.doc_id, r.score) for r in b]
+    assert a
+
+
+def test_runtime_bm25f_validation(spark, field_root):
+    from datastream_io_spark.operators.bm25f import search_bm25f
+
+    with pytest.raises(ValueError, match="unknown fields"):
+        search_bm25f(spark, field_root, "x", {"nosuch": 1}, 5)
+    with pytest.raises(ValueError, match="must be > 0"):
+        search_bm25f(spark, field_root, "x", {"path": 0}, 5)
+    with pytest.raises(ValueError, match="phrase"):
+        search_bm25f(spark, field_root, "x", {"path": 1}, 5,
+                     mode="phrase")
