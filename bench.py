@@ -156,7 +156,10 @@ def main() -> None:
     # NOT appended to lat_ms: query_p95_ms stays the top-k-suite metric
     # it has been since r1 (facets enumerate the full match set —
     # structurally slower — and would redefine p95 across rounds).
-    from datastream_io_spark.operators.indexed_search import facet_counts
+    from datastream_io_spark.operators.indexed_search import (
+        facet_counts,
+        facet_counts_grouped,
+    )
 
     for key, fn in [
         ("q_doc_wildcard", lambda: doc_searcher.search_wildcard(
@@ -164,6 +167,10 @@ def main() -> None:
         ("q_doc_fuzzy", lambda: doc_searcher.search_fuzzy(
             "hast", 10, max_dist=2).collect()),
         ("q_doc_facet", lambda: facet_counts(
+            spark, doc_idx, "window agg", "lang", "and").collect()),
+        # non-partition-column facet path (r5): exact counts with no
+        # match-set join — per-split value arrays + kernel counters
+        ("q_doc_facet_nonpart", lambda: facet_counts_grouped(
             spark, doc_idx, "window agg", "lang", "and").collect()),
     ]:
         best = None
