@@ -225,24 +225,34 @@ def q_bm25f(spark, sf_dir):
     so the unchanged WAND query path scores BM25F exactly; the oracle
     replicates the repeated-field text in SQL. Query 'window doc_42'
     (OR): doc 42's path token carries tf 3 at near-unique idf, ranking
-    it above body-only matches."""
-    from datastream_io_spark.operators.bm25f import build_bm25f_index
-    from datastream_io_spark.operators.indexed_search import search_indexed
+    it above body-only matches. r5: the Spark side runs the RUNTIME-
+    weighted path — one index per field, weights applied at query time
+    (search_bm25f) — which equals a repetition-built index to 1e-9 at
+    integer weights (pytest-pinned); the oracle still scores the
+    repeated-field text, so the gate pins the runtime merge end to
+    end."""
+    from datastream_io_spark.operators.bm25f import (
+        build_bm25f_field_indexes,
+        search_bm25f,
+    )
     from datastream_io_spark.sources.scan import documents_as_corpus
 
     corpus = documents_as_corpus(spark, sf_dir)
-    idx = _dq_tmpdir("dq_bm25f_")
-    build_bm25f_index(spark, corpus, idx,
-                      field_weights={"path": 3, "content": 1},
-                      n_splits=2, n_buckets=8, tokenizer="simple",
-                      salt_threshold=100, n_salts=4,
-                      source_desc=f"{sf_dir}/documents.parquet")
-    topk = search_indexed(spark, idx, "window doc_42", 10, "or",
-                          with_doc_cols=True)
-    return topk.select(
-        F.substring("path", 5, 32).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
+    root = _dq_tmpdir("dq_bm25f_")
+    build_bm25f_field_indexes(spark, corpus, root,
+                              fields=("path", "content"),
+                              n_splits=2, n_buckets=8,
+                              tokenizer="simple",
+                              salt_threshold=100, n_salts=4)
+    topk = search_bm25f(spark, root, "window doc_42",
+                        {"path": 3, "content": 1}, 10, "or")
+    docs = spark.read.parquet(
+        os.path.join(root, "field=path", "docs")).select(
+        "doc_id", F.substring("path", 5, 32).cast("long").alias("fix_id"))
+    return (docs.join(F.broadcast(topk), "doc_id")
+            .select(F.col("fix_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
 # same BM25 CTE over the DERIVED fielded text: path ('doc_<id>')
@@ -277,9 +287,13 @@ def _pos_index(spark, sf_dir: str) -> str:
         )
 
         idx = _dq_tmpdir("dq_posindex_")
+        # store_content: the snippets entry serves from the index's own
+        # doc store (corpus=None) — the r5 self-contained-index path
+        # runs through the driver gate with no extra slot
         build_index(spark, documents_as_corpus(spark, sf_dir), idx,
                     n_splits=4, n_buckets=8, tokenizer="simple",
                     salt_threshold=100, n_salts=4, positions=True,
+                    store_content=True,
                     source_desc=f"{sf_dir}/documents.parquet")
         # expansion sidecars: the wildcard/fuzzy/suggest dq entries then
         # exercise the dictionary-scale paths (dict_sorted range scan,
@@ -325,14 +339,15 @@ ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 
 def q_snippets(spark, sf_dir):
     """Q16 — display snippets: densest ``width``-token window around the
-    phrase top-10's match positions, from the positional index + one
-    broadcast corpus join (only the 10 hits are re-tokenized). Oracle
-    re-derives the window by tokenizing the fixture text in SQL."""
+    phrase top-10's match positions, from the positional index + the
+    index's OWN doc store (store_content build; corpus=None — no source
+    table touched at query time). Oracle re-derives the window by
+    tokenizing the fixture text in SQL."""
     from datastream_io_spark.operators.indexed_search import snippets
-    from datastream_io_spark.sources.scan import documents_as_corpus
 
     idx = _pos_index(spark, sf_dir)
-    sn = snippets(spark, idx, documents_as_corpus(spark, sf_dir),
+    # corpus=None: content comes from the doc store inside the index
+    sn = snippets(spark, idx, None,
                   "window agg", k=10, mode="phrase", width=8)
     docs = spark.read.parquet(os.path.join(idx, "docs")).select(
         "doc_id", F.substring("path", 5, 32).cast("long").alias("fix_id"))
