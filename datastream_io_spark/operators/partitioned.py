@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,13 +88,10 @@ def read_partitioned(root: str) -> dict:
         return json.load(f)
 
 
-class _TombShim:
-    """Quacks like a Spark broadcast for ``_tv_from`` (``.value``) so
-    the one-job facet kernel can carry a per-value tombstone array in
-    its closure instead of one broadcast per subindex."""
-
-    def __init__(self, value):
-        self.value = value
+# facet_counts_partitioned toggles the SESSION-global AQE flag around
+# its one collect(); without mutual exclusion two concurrent callers
+# can interleave save/restore and leave AQE off for the whole session.
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def facet_counts_partitioned(
@@ -127,6 +125,7 @@ def facet_counts_partitioned(
     from datastream_io_spark.functions.xxhash import term_bucket
     from datastream_io_spark.operators.build import read_stats
     from datastream_io_spark.operators.indexed_search import (
+        _check_format,
         _plan_terms,
         _tombstone_state,
         _wand_split,
@@ -148,6 +147,7 @@ def facet_counts_partitioned(
     for v in values:
         sub = _subdir(root, by, v)
         stats = read_stats(sub)
+        _check_format(stats, sub)
         vmode, terms, phrase = _plan_terms(query, mode, stats)
         if not terms:
             return empty
@@ -164,7 +164,11 @@ def facet_counts_partitioned(
                 [(u, n) for u, n in rows if n],
                 f"{by} string, n_docs long")
             return out.orderBy(F.desc("n_docs"), F.asc(by))
-        tomb_of[v] = _TombShim(tomb.value) if tomb is not None else None
+        # keep the BROADCAST handle (not .value): a captured broadcast
+        # pickles as a small stub and workers fetch the array via the
+        # broadcast store, whereas materialized arrays (up to 4M ids ×
+        # 8 B per subindex) would ride the closure into every task
+        tomb_of[v] = tomb
         buckets = sorted({term_bucket(t, int(stats["n_buckets"]))
                           for t in terms})
         scans.append(
@@ -195,12 +199,13 @@ def facet_counts_partitioned(
     # ids for one logical query), which defeats the job-count contract
     # and its assertion. Without AQE the whole root answers in ONE job;
     # the collected result is ≤ V tiny rows, driver-safe by definition.
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        rows = cand.collect()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    with _AQE_TOGGLE_LOCK:
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            rows = cand.collect()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
     rows.sort(key=lambda r: (-r["n_docs"], r["_fv"]))
     out = spark.createDataFrame(
         [(r["_fv"], r["n_docs"]) for r in rows],
