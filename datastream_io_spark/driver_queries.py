@@ -578,12 +578,17 @@ GROUP BY sc.doc_id ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
 def q_partitioned_search(spark, sf_dir):
     """Q17 — hot-column partitioned index (the 100-TB answer for a
     filter column in most queries): one ordinary index per lang under a
-    common root; the query routes to its value's subindex and runs
-    UNfiltered with full pruning. Scores use the PARTITION's own corpus
-    statistics — identical to a fresh build over the filtered corpus —
-    which the oracle pins by scoring BM25 over the lang subset."""
+    common root. TWO legs through the gate: 'routed' routes a filtered
+    query to its value's subindex and runs UNfiltered with full pruning
+    — scores use the PARTITION's own corpus statistics, which the
+    oracle pins by scoring BM25 over the lang subset. 'global' (r5) is
+    the cross-partition top-k from :func:`search_all_partitions`, whose
+    plan-time global-statistics merge (Σdf, Σn_docs, Σsum_dl) the
+    oracle pins by scoring BM25 over the WHOLE corpus — per-partition
+    indexes must reproduce the unpartitioned ranking exactly."""
     from datastream_io_spark.operators.partitioned import (
         build_partitioned_index,
+        search_all_partitions,
         search_partitioned,
     )
     from datastream_io_spark.sources.scan import documents_as_corpus
@@ -591,34 +596,60 @@ def q_partitioned_search(spark, sf_dir):
     root = _dq_tmpdir("dq_partidx_")
     build_partitioned_index(
         spark, documents_as_corpus(spark, sf_dir), root, by="lang",
-        values=["de"], n_splits=2, n_buckets=8, tokenizer="simple")
-    topk = search_partitioned(spark, root, "de", "window agg", 10,
-                              "and", with_doc_cols=True)
-    return topk.select(
-        F.substring("path", 5, 32).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
+        n_splits=2, n_buckets=8, tokenizer="simple")
+    routed = search_partitioned(spark, root, "de", "window agg", 10,
+                                "and", with_doc_cols=True)
+    globl = search_all_partitions(spark, root, "window agg", 10,
+                                  "and", with_doc_cols=True)
+    def leg(df, name):
+        return df.select(
+            F.lit(name).alias("leg"),
+            F.substring("path", 5, 32).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+    return leg(routed, "routed").unionByName(leg(globl, "global"))
 
 
-o_partitioned_search = """
-WITH docs_p AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
-tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+o_partitioned_search = f"""
+WITH p_docs AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+p_tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
             lower(text), '[^a-z0-9_]+'), t -> t <> '')) AS term
-        FROM docs_p),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-st AS (SELECT (SELECT count(*) FROM docs_p) AS n,
-              (SELECT avg(dl) FROM dl) AS avgdl),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-sc AS (SELECT tf.doc_id,
-              ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
-              * (tf.tf * (1.2 + 1))
-              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
-       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
-       WHERE tf.term IN ('agg', 'window'))
-SELECT doc_id, round(sum(s), 6) AS score FROM sc
-GROUP BY doc_id HAVING count(*) = 2
-ORDER BY sum(s) DESC, doc_id LIMIT 10
+        FROM p_docs),
+p_tf AS (SELECT doc_id, term, count(*) AS tf FROM p_tok GROUP BY 1, 2),
+p_dl AS (SELECT doc_id, count(*) AS dl FROM p_tok GROUP BY 1),
+p_st AS (SELECT (SELECT count(*) FROM p_docs) AS n,
+              (SELECT avg(dl) FROM p_dl) AS avgdl),
+p_df AS (SELECT term, count(*) AS df FROM p_tf GROUP BY 1),
+p_sc AS (SELECT p_tf.doc_id,
+              ln(1 + (p_st.n - p_df.df + 0.5) / (p_df.df + 0.5))
+              * (p_tf.tf * (1.2 + 1))
+              / (p_tf.tf + 1.2 * (1 - 0.75 + 0.75 * p_dl.dl / p_st.avgdl))
+              AS s
+       FROM p_tf JOIN p_dl USING (doc_id) JOIN p_df USING (term)
+       CROSS JOIN p_st
+       WHERE p_tf.term IN ('agg', 'window')),
+g_tok AS ({TOK_SQL}),
+g_tf AS (SELECT doc_id, term, count(*) AS tf FROM g_tok GROUP BY 1, 2),
+g_dl AS (SELECT doc_id, count(*) AS dl FROM g_tok GROUP BY 1),
+g_st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT avg(dl) FROM g_dl) AS avgdl),
+g_df AS (SELECT term, count(*) AS df FROM g_tf GROUP BY 1),
+g_sc AS (SELECT g_tf.doc_id,
+              ln(1 + (g_st.n - g_df.df + 0.5) / (g_df.df + 0.5))
+              * (g_tf.tf * (1.2 + 1))
+              / (g_tf.tf + 1.2 * (1 - 0.75 + 0.75 * g_dl.dl / g_st.avgdl))
+              AS s
+       FROM g_tf JOIN g_dl USING (doc_id) JOIN g_df USING (term)
+       CROSS JOIN g_st
+       WHERE g_tf.term IN ('agg', 'window')),
+leg_r AS (SELECT doc_id, round(sum(s), 6) AS score FROM p_sc
+          GROUP BY doc_id HAVING count(*) = 2
+          ORDER BY sum(s) DESC, doc_id LIMIT 10),
+leg_g AS (SELECT doc_id, round(sum(s), 6) AS score FROM g_sc
+          GROUP BY doc_id HAVING count(*) = 2
+          ORDER BY sum(s) DESC, doc_id LIMIT 10)
+SELECT 'routed' AS leg, doc_id, score FROM leg_r
+UNION ALL
+SELECT 'global' AS leg, doc_id, score FROM leg_g
 """
 
 

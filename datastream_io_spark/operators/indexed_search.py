@@ -1764,7 +1764,7 @@ def _filtered_topk(spark, index_dir, prows, idf, avgdl, n_terms, k,
 
 def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
                mode, with_doc_cols, phrase=None, where=None,
-               postings_df=None, docs_df=None):
+               postings_df=None, docs_df=None, cand_only=False):
     found_terms = sorted(idf)
     tomb, tomb_join = _tombstone_state(spark, index_dir)
     prows = _with_tomb(
@@ -1800,5 +1800,10 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
 
         cand = prows.groupBy("split_id").applyInPandas(
             kernel, "doc_id long, score double")
+    if cand_only:
+        # cross-index merges (partitioned.search_all_partitions) union
+        # the per-index candidate streams and apply ONE global cut —
+        # per-split k-cuts above stay valid (global top-k ⊆ their union)
+        return cand
     return global_topk(spark, index_dir, cand, k, with_doc_cols,
                        docs_df=docs_df)

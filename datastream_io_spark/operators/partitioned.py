@@ -236,3 +236,157 @@ def search_partitioned(
     return search_indexed(
         spark, _subdir(root, manifest["by"], value), query, k, mode,
         with_doc_cols=with_doc_cols)
+
+
+def search_all_partitions(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    with_doc_cols: bool = False,
+) -> DataFrame:
+    """Global top-k over EVERY subindex of a partitioned root, scored
+    with GLOBALLY-merged corpus statistics — the cross-tenant query a
+    partition-sharded 100-TB deployment still has to answer.
+
+    Per-partition stats make subindex scores incomparable (each
+    subindex has its own n_docs/avgdl/idf), so this path rebuilds the
+    GLOBAL statistics at plan time and pushes them into every kernel:
+
+        N       = Σ_v n_docs_v
+        sum_dl  = Σ_v round(avgdl_v · n_docs_v)   (exact — true sum_dl
+                  is an integer and f64 error ≪ 0.5 below 2^52)
+        df(t)   = Σ_v df_v(t)     (subindexes partition the corpus, so
+                  document frequencies add)
+        idf(t)  = log1p((N − df + ½)/(df + ½))    (the dict formula)
+
+    With those inputs every per-split kernel scores EXACTLY as if the
+    whole corpus lived in one index, so results match an unpartitioned
+    index over the same corpus to 1e-9 (test-pinned); BMW block bounds
+    stay valid because block max_tf/min_dl are data properties and the
+    idf/avgdl they are scaled by are the ones passed in.
+
+    Plan shape (job-count, not just row-count, is the contract):
+    ONE planning job (union of every subindex's bucket-pruned dict
+    scan, tagged by value, ≤|q| rows per subindex collected) and ONE
+    ranking job (union of per-subindex candidate kernels → a single
+    global TakeOrdered; the ≤k display join rides the same job as a
+    broadcast). A subindex missing some AND/phrase term contributes
+    nothing and is pruned at plan time — its postings are never
+    scanned. Subindexes whose tombstones exceed the broadcast cap get
+    their per-split join delivery as usual (the tomb column is
+    attached per subindex before the union).
+
+    Output: ``(<by>, doc_id, score)`` ordered (score desc, <by> asc,
+    doc_id asc) — doc_ids are per-subindex, so the partition value is
+    part of the row identity. ``with_doc_cols`` appends the docs-table
+    display columns except ``<by>`` itself when it duplicates one.
+    """
+    from datastream_io_spark.functions.xxhash import term_bucket
+    from datastream_io_spark.operators.build import read_stats
+    from datastream_io_spark.operators.indexed_search import (
+        _check_format,
+        _plan_terms,
+        _wand_topk,
+    )
+
+    if mode not in ("and", "or", "phrase"):
+        raise ValueError(
+            f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
+    manifest = read_partitioned(root)
+    by = manifest["by"]
+    values = sorted(manifest["values"])
+    doc_cols = [c for c in ("repo", "path", "commit", "lang") if c != by]
+    schema = (f"{by} string, doc_id long, "
+              + (", ".join(f"{c} string" for c in doc_cols) + ", "
+                 if with_doc_cols else "")
+              + "score double")
+    empty = spark.createDataFrame([], schema)
+    if not values:
+        return empty
+
+    stats_of, plan = {}, None
+    n_docs_g, sum_dl_g = 0, 0
+    for v in values:
+        sub = _subdir(root, by, v)
+        stats = read_stats(sub)
+        _check_format(stats, sub)
+        vmode, terms, phrase = _plan_terms(query, mode, stats)
+        if plan is None:
+            plan = (vmode, terms, phrase, stats["tokenizer"])
+        elif stats["tokenizer"] != plan[3]:
+            raise ValueError(
+                f"subindexes disagree on tokenizer: {by}={v} has "
+                f"{stats['tokenizer']!r}, expected {plan[3]!r}")
+        stats_of[v] = stats
+        n_docs_g += int(stats["n_docs"])
+        sum_dl_g += round(float(stats["avgdl"]) * int(stats["n_docs"]))
+    vmode, terms, phrase, _ = plan
+    if not terms or not n_docs_g:
+        return empty
+    avgdl_g = sum_dl_g / n_docs_g
+
+    # ONE planning job: every subindex's dict rows for the query terms,
+    # bucket-pruned per subindex (n_buckets may differ), value-tagged
+    dict_scans = []
+    for v in values:
+        sub = _subdir(root, by, v)
+        buckets = sorted({term_bucket(t, int(stats_of[v]["n_buckets"]))
+                          for t in terms})
+        d = spark.read.parquet(os.path.join(sub, "dict"))
+        dict_scans.append(
+            d.where(F.col("term_bucket").isin(buckets)
+                    & F.col("term").isin(terms))
+            .select("term", "df").withColumn("_fv", F.lit(v)))
+    dunion = dict_scans[0]
+    for d in dict_scans[1:]:
+        dunion = dunion.unionByName(d)
+    drows = dunion.collect()
+
+    import math
+
+    df_g: dict[str, int] = {}
+    terms_of: dict[str, list[str]] = {v: [] for v in values}
+    for r in drows:
+        df_g[r["term"]] = df_g.get(r["term"], 0) + int(r["df"])
+        terms_of[r["_fv"]].append(r["term"])
+    if vmode in ("and", "phrase") and len(df_g) < len(terms):
+        return empty  # some term absent from the WHOLE corpus
+    if not df_g:
+        return empty
+    idf_g = {t: math.log1p((n_docs_g - df + 0.5) / (df + 0.5))
+             for t, df in df_g.items()}
+
+    cands = []
+    for v in values:
+        found = sorted(terms_of[v])
+        if not found:
+            continue
+        if vmode in ("and", "phrase") and len(found) < len(terms):
+            continue  # this partition cannot satisfy the conjunction
+        sub = _subdir(root, by, v)
+        buckets = sorted({term_bucket(t, int(stats_of[v]["n_buckets"]))
+                          for t in found})
+        cand = _wand_topk(
+            spark, sub, {t: idf_g[t] for t in found}, buckets, avgdl_g,
+            len(terms), k, vmode, False, phrase=phrase, cand_only=True)
+        cands.append(cand.select(F.lit(v).alias(by), "doc_id", "score"))
+    if not cands:
+        return empty
+    union = cands[0]
+    for c in cands[1:]:
+        union = union.unionByName(c)
+    topk = union.orderBy(F.desc("score"), F.asc(by),
+                         F.asc("doc_id")).limit(k)
+    if with_doc_cols:
+        docs = None
+        for v in values:
+            d = (spark.read.parquet(
+                    os.path.join(_subdir(root, by, v), "docs"))
+                 .select(F.lit(v).alias(by), "doc_id", *doc_cols))
+            docs = d if docs is None else docs.unionByName(d)
+        topk = (docs.join(F.broadcast(topk), [by, "doc_id"])
+                .select(by, "doc_id", *doc_cols, "score")
+                .orderBy(F.desc("score"), F.asc(by), F.asc("doc_id")))
+    return topk

@@ -516,6 +516,55 @@ def test_facet_counts_match_pandas(spark, doc_index, doc_ctx):
     assert facet_counts(spark, doc_index, "nosuchterm", "lang").count() == 0
 
 
+def test_search_all_partitions_matches_unpartitioned(
+        spark, pos_index, tmp_path):
+    """r5: the global cross-partition top-k merges per-subindex
+    candidates under plan-time GLOBAL statistics (Σdf, Σn_docs,
+    Σsum_dl), so it must equal an unpartitioned index over the same
+    corpus to 1e-9 — for and/or/phrase, at different n_splits, and
+    with deletes applied to one subindex."""
+    from datastream_io_spark.operators.indexed_search import delete_docs
+    from datastream_io_spark.operators.partitioned import (
+        build_partitioned_index, search_all_partitions)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    root = str(tmp_path / "gap_root")
+    build_partitioned_index(spark, corpus, root, by="lang", n_splits=2,
+                            n_buckets=8, tokenizer="simple",
+                            positions=True)
+
+    def key(rows):
+        return sorted((r["path"], round(r["score"], 9)) for r in rows)
+
+    for q, mode in [("window agg", "and"), ("window agg", "or"),
+                    ("window agg", "phrase"), ("scan", "or"),
+                    ("zzznope window", "and")]:
+        g = search_all_partitions(spark, root, q, 10, mode,
+                                  with_doc_cols=True).collect()
+        m = search_indexed(spark, pos_index, q, 10, mode,
+                           with_doc_cols=True).collect()
+        assert key(g) == key(m), (q, mode)
+
+    # column contract: by-column leads, lang not duplicated in doc cols
+    got = search_all_partitions(spark, root, "window agg", 3, "and",
+                                with_doc_cols=True)
+    assert got.columns == ["lang", "doc_id", "repo", "path", "commit",
+                           "score"]
+    assert search_all_partitions(spark, root, "window agg", 3).columns \
+        == ["lang", "doc_id", "score"]
+
+    # deletes inside one subindex are honored by the global merge
+    sub = os.path.join(root, "lang=de")
+    delete_docs(spark, sub, where="pmod(doc_id, 2) = 0", max_frac=None)
+    dead = {r["path"] for r in spark.read.parquet(
+        os.path.join(sub, "docs"))
+        .where("pmod(doc_id, 2) = 0").select("path").collect()}
+    assert dead
+    g = search_all_partitions(spark, root, "window agg", 500, "or",
+                              with_doc_cols=True).collect()
+    assert g and not ({r["path"] for r in g} & dead)
+
+
 def test_partitioned_facets_equal_global_without_docs_join(
         spark, doc_index, tmp_path):
     """r4 (VERDICT wrong #1): when the facet column is the partition
