@@ -500,6 +500,108 @@ def _phrase_filter(cand: np.ndarray, phrase: list[str], blocks_of: dict,
     return np.unique(keys >> _POS_BITS)
 
 
+class NearSpec:
+    """Proximity predicate carried through the phrase plumbing: DISTINCT
+    terms (duplicates collapsed — spans of repeated tokens belong to
+    phrase search), a slop budget, and orderedness. A doc matches when
+    one occurrence per term can be chosen with
+
+        ordered:   positions increasing in term order and
+                    p_last − p_first − (T−1) ≤ slop
+        unordered: max(p) − min(p) − (T−1) ≤ slop
+
+    so ``slop=0, ordered=True`` over distinct tokens is exactly phrase
+    adjacency, and slop counts the extra tokens allowed inside the
+    span (Lucene's sloppy-phrase intuition with set semantics)."""
+
+    __slots__ = ("terms", "slop", "ordered")
+
+    def __init__(self, terms: list[str], slop: int, ordered: bool):
+        self.terms = list(terms)
+        self.slop = int(slop)
+        self.ordered = bool(ordered)
+
+
+def _ordered_chain(plists: list[np.ndarray], bound: int) -> bool:
+    """∃ p1<p2<...<pT (pi from plists[i]) with pT − p1 ≤ bound? For a
+    fixed p1 the greedy chain (smallest legal next position at every
+    hop) minimizes pT, so scanning p1 ascending with early abort when
+    the chain runs off any list is exact."""
+    for p1 in plists[0]:
+        p = p1
+        for pl in plists[1:]:
+            i = int(np.searchsorted(pl, p, side="right"))
+            if i == len(pl):
+                return False  # larger p1 cannot resurrect the chain
+            p = int(pl[i])
+        if p - int(p1) <= bound:
+            return True
+    return False
+
+
+def _unordered_window(plists: list[np.ndarray], bound: int) -> bool:
+    """∃ window of span ≤ bound containing ≥1 position of every term?
+    Classic two-pointer over the merged position stream (positions are
+    unique within a doc — one token per position)."""
+    T = len(plists)
+    pos = np.concatenate(plists)
+    lab = np.concatenate(
+        [np.full(len(p), i, np.int64) for i, p in enumerate(plists)])
+    o = np.argsort(pos, kind="stable")
+    pos, lab = pos[o], lab[o]
+    count = np.zeros(T, np.int64)
+    have = 0
+    i = 0
+    for j in range(len(pos)):
+        c = lab[j]
+        if count[c] == 0:
+            have += 1
+        count[c] += 1
+        while have == T:
+            if pos[j] - pos[i] <= bound:
+                return True
+            ci = lab[i]
+            count[ci] -= 1
+            if count[ci] == 0:
+                have -= 1
+            i += 1
+    return False
+
+
+def _near_filter(cand: np.ndarray, spec: NearSpec, blocks_of: dict,
+                 decoded: dict) -> np.ndarray:
+    """Docs in ``cand`` satisfying ``spec``. Position decode is shared
+    with the phrase path (``_positions_of`` + pos_cache: each term's
+    streams decode once, blocks without candidates never). The window
+    tests run per candidate doc — O(occ·log) ordered / O(occ) unordered
+    over that doc's occurrences of the query terms only, the same
+    per-candidate cost class as the phrase key intersection."""
+    bound = (len(spec.terms) - 1) + spec.slop
+    pos_cache: dict = {}
+    per_term = []
+    for t in spec.terms:
+        docs, poss = _positions_of(cand, blocks_of[t], decoded, t,
+                                   pos_cache)
+        per_term.append((docs, poss))
+    out = []
+    for d in cand:
+        plists = []
+        for docs, poss in per_term:
+            lo = np.searchsorted(docs, d)
+            hi = np.searchsorted(docs, d, side="right")
+            if lo == hi:
+                plists = None
+                break
+            plists.append(poss[lo:hi])
+        if plists is None:
+            continue
+        hit = (_ordered_chain(plists, bound) if spec.ordered
+               else _unordered_window(plists, bound))
+        if hit:
+            out.append(int(d))
+    return np.asarray(out, np.int64)
+
+
 def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,
                    k: int, decoded: dict,
                    tv: np.ndarray | None = None) -> np.ndarray:
@@ -669,7 +771,9 @@ def _wand_split(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         cand = _drop_dead(cand, tv)
         if cand.size == 0:
             return empty
-        cand = _phrase_filter(cand, phrase, dict(term_rows), decoded)
+        cand = (_near_filter(cand, phrase, dict(term_rows), decoded)
+                if isinstance(phrase, NearSpec) else
+                _phrase_filter(cand, phrase, dict(term_rows), decoded))
         if cand.size == 0:
             return empty
     elif mode == "and" and n_terms > 1:
@@ -1657,6 +1761,57 @@ def search_indexed(
     return _wand_topk(spark, index_dir, idf, buckets,
                       float(stats["avgdl"]), len(terms), k, mode,
                       with_doc_cols, phrase, where)
+
+
+def search_near(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    slop: int = 2,
+    ordered: bool = False,
+    with_doc_cols: bool = False,
+) -> DataFrame:
+    """Proximity top-k (r5): docs where the query's DISTINCT terms all
+    occur within a window of ``(T−1) + slop`` positions — in query
+    order when ``ordered=True`` (``slop=0, ordered=True`` ≡ phrase for
+    duplicate-free queries; ``slop=∞`` degrades to AND). Ranking is
+    BM25 over the distinct terms, identical to AND mode on the same
+    candidate set, so proximity changes WHICH docs qualify, never how
+    a qualifying doc scores (test-pinned both ways).
+
+    Plan shape = the phrase plan: AND candidates via block-range
+    skipping, then per-candidate window tests over the positional
+    streams (decoded once per (term, block), only for blocks holding
+    candidates), per-split k-cut, one global TakeOrdered. Positional
+    index required."""
+    if slop < 0:
+        raise ValueError(f"slop must be ≥ 0, got {slop}")
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    if not stats.get("positions", False):
+        raise ValueError(
+            "near search needs a positional index — rebuild with "
+            "build_index(..., positions=True)")
+    seq = parse_phrase(query, stats["tokenizer"])
+    terms = list(dict.fromkeys(seq))  # distinct, query order
+    spark_empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms:
+        return spark_empty
+    dict_rows = lookup_terms(spark, index_dir, terms,
+                             int(stats["n_buckets"]))
+    if len(dict_rows) < len(terms):
+        return spark_empty  # conjunction — a missing term ends it
+    idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+    if len(terms) == 1:
+        return _wand_topk(spark, index_dir, idf, buckets,
+                          float(stats["avgdl"]), 1, k, "and",
+                          with_doc_cols)
+    return _wand_topk(spark, index_dir, idf, buckets,
+                      float(stats["avgdl"]), len(terms), k, "phrase",
+                      with_doc_cols,
+                      phrase=NearSpec(terms, slop, ordered))
 
 
 def postings_rows(spark: SparkSession, index_dir: str, buckets: list,

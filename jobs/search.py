@@ -18,15 +18,22 @@ def main(argv: list[str]) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--mode", default="and",
                    choices=["and", "or", "phrase", "boolean", "wildcard",
-                            "fuzzy"],
-                   help="phrase (and quoted phrases in boolean) need an "
-                        "index built with positions=True; boolean parses "
-                        'AND/OR/NOT, parentheses, and "quoted phrases"; '
-                        "wildcard treats the query as a term prefix "
-                        "(trailing * optional); fuzzy expands the query "
-                        "term to index terms within --max-dist edits")
+                            "fuzzy", "near"],
+                   help="phrase/near (and quoted phrases in boolean) need "
+                        "an index built with positions=True; boolean "
+                        "parses AND/OR/NOT, parentheses, and "
+                        '"quoted phrases"; wildcard treats the query as a '
+                        "term prefix (trailing * optional); fuzzy expands "
+                        "the query term to index terms within --max-dist "
+                        "edits; near keeps docs whose distinct query "
+                        "terms fit a --slop window (--ordered for "
+                        "in-order)")
     p.add_argument("--max-dist", type=int, default=1,
                    help="Levenshtein budget for --mode fuzzy")
+    p.add_argument("--slop", type=int, default=2,
+                   help="extra-token budget for --mode near")
+    p.add_argument("--ordered", action="store_true",
+                   help="--mode near: terms must appear in query order")
     p.add_argument("--facet", default=None, metavar="COL",
                    help="instead of top-k rows, print per-COL counts of "
                         "ALL docs matching the query (and/or/phrase)")
@@ -53,7 +60,7 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
     if args.snippets:
-        if args.mode in ("boolean", "wildcard", "fuzzy"):
+        if args.mode in ("boolean", "wildcard", "fuzzy", "near"):
             p.error("--snippets supports modes and/or/phrase")
         corpus = (spark.read.parquet(args.src)
                   if args.src is not None else None)
@@ -67,7 +74,7 @@ def main(argv: list[str]) -> int:
               f"(mode={args.mode})")
         return 0
     if args.facet is not None:
-        if args.mode in ("boolean", "wildcard", "fuzzy"):
+        if args.mode in ("boolean", "wildcard", "fuzzy", "near"):
             p.error("--facet supports modes and/or/phrase")
         rows = facet_counts(spark, args.index, args.query, args.facet,
                             args.mode).collect()
@@ -86,6 +93,11 @@ def main(argv: list[str]) -> int:
     elif args.mode == "fuzzy":
         result = search_fuzzy(spark, args.index, args.query, args.k,
                               max_dist=args.max_dist, with_doc_cols=True)
+    elif args.mode == "near":
+        from datastream_io_spark.operators.indexed_search import search_near
+        result = search_near(spark, args.index, args.query, args.k,
+                             slop=args.slop, ordered=args.ordered,
+                             with_doc_cols=True)
     else:
         result = search_indexed(spark, args.index, args.query, args.k,
                                 args.mode, with_doc_cols=True)

@@ -165,3 +165,89 @@ def test_snippets_densest_window(spark, pos_index, pos_pdf):
         n_best = sum(1 for x in hits if best <= x < best + width)
         assert r.snippet == " ".join(toks[best:best + width]), r.doc_id
         assert r.n_hits == n_best
+
+
+# ---------------------------------------------------------------- near/slop
+
+
+def _brute_near_ids(pdf, query, slop, ordered, tokenizer="simple"):
+    """Independent proximity reference: slide every window of
+    ``bound+1`` tokens; unordered needs all terms inside the window,
+    ordered needs them as an in-order subsequence of the window (greedy
+    within a fixed window is exact for subsequence existence). A
+    position set with span ≤ bound fits in such a window and vice
+    versa, so this enumerates the same predicate search_near computes
+    via per-doc chains/two-pointers — by a different algorithm."""
+    from datastream_io_spark.functions.tokenize import tokenizer_for
+
+    pure, _ = tokenizer_for(tokenizer)
+    terms = list(dict.fromkeys(pure(query)))
+    bound = (len(terms) - 1) + slop
+    need = set(terms)
+    out = set()
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = pure(text)
+        if not need <= set(toks):
+            continue
+        hit = False
+        for s in range(len(toks)):
+            win = toks[s:s + bound + 1]
+            if ordered:
+                it = iter(win)
+                hit = all(any(w == t for w in it) for t in terms)
+            else:
+                hit = need <= set(win)
+            if hit:
+                break
+        if hit:
+            out.add(int(doc_id))
+    return out
+
+
+def test_near_matches_windowed_bruteforce(spark, pos_index, pos_pdf):
+    from datastream_io_spark.operators.indexed_search import search_near
+
+    and_scores = {}
+    for q in ["window agg", "agg window scan", "sort merge"]:
+        and_scores[q] = {r.doc_id: r.score for r in search_indexed(
+            spark, pos_index, q, 10**6, "and").collect()}
+    for q in ["window agg", "agg window scan", "sort merge"]:
+        for slop in (0, 1, 3):
+            for ordered in (False, True):
+                got = search_near(spark, pos_index, q, 10**6, slop,
+                                  ordered).collect()
+                exp = _brute_near_ids(pos_pdf, q, slop, ordered)
+                assert {r.doc_id for r in got} == exp, (q, slop, ordered)
+                # proximity gates membership, never changes the score
+                for r in got:
+                    assert r.score == pytest.approx(
+                        and_scores[q][r.doc_id], abs=1e-9)
+
+
+def test_near_degenerate_forms(spark, pos_index, doc_index):
+    from datastream_io_spark.operators.indexed_search import search_near
+
+    # ordered slop=0 on a duplicate-free query ≡ exact phrase
+    a = sorted((r.doc_id, round(r.score, 9)) for r in search_near(
+        spark, pos_index, "window agg", 10**6, 0, True).collect())
+    b = sorted((r.doc_id, round(r.score, 9)) for r in search_indexed(
+        spark, pos_index, "window agg", 10**6, "phrase").collect())
+    assert a == b and a
+    # unordered huge slop ≡ AND
+    c = sorted((r.doc_id, round(r.score, 9)) for r in search_near(
+        spark, pos_index, "window agg", 10**6, 10**6, False).collect())
+    d = sorted((r.doc_id, round(r.score, 9)) for r in search_indexed(
+        spark, pos_index, "window agg", 10**6, "and").collect())
+    assert c == d
+    # single term ≡ AND on that term
+    e = [(r.doc_id, round(r.score, 9)) for r in search_near(
+        spark, pos_index, "window", 10, 2, True).collect()]
+    f = [(r.doc_id, round(r.score, 9)) for r in search_indexed(
+        spark, pos_index, "window", 10, "and").collect()]
+    assert e == f
+    with pytest.raises(ValueError, match="slop"):
+        search_near(spark, pos_index, "window agg", 10, -1)
+    with pytest.raises(ValueError, match="positional"):
+        search_near(spark, doc_index, "window agg", 10, 1)
+    # absent term → empty (conjunctive semantics)
+    assert search_near(spark, pos_index, "window zzznope", 10, 5).count() == 0
