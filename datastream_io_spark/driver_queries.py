@@ -304,18 +304,32 @@ def _pos_index(spark, sf_dir: str) -> str:
 
 
 def q_phrase_indexed(spark, sf_dir):
-    """Positional index + phrase search: docs containing the exact token
-    sequence 'window agg', ranked by BM25 over the phrase terms. The
-    oracle checks adjacency by substring match on the space-joined
-    normalized token stream — identical semantics."""
-    from datastream_io_spark.operators.indexed_search import search_indexed
+    """Positional index: exact-phrase plus proximity search (r5) in one
+    slot. Legs: 'phrase' = docs containing the exact token sequence
+    'window agg'; 'near' = the terms within an unordered 2-position
+    window (slop=1); 'near_ord' = same window but in query order. All
+    rank by BM25 over the distinct terms. The oracle checks adjacency
+    by substring match on the space-joined normalized token stream and
+    the proximity legs by position arithmetic over
+    generate_subscripts-enumerated tokens — identical semantics."""
+    from datastream_io_spark.operators.indexed_search import (
+        search_indexed, search_near)
 
-    topk = search_indexed(spark, _pos_index(spark, sf_dir), "window agg",
-                          10, "phrase", with_doc_cols=True)
-    return topk.select(
-        F.substring("path", 5, 32).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
+    idx = _pos_index(spark, sf_dir)
+    def leg(df, name):
+        return df.select(
+            F.lit(name).alias("leg"),
+            F.substring("path", 5, 32).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+    return (
+        leg(search_indexed(spark, idx, "window agg", 10, "phrase",
+                           with_doc_cols=True), "phrase")
+        .unionByName(leg(search_near(spark, idx, "window agg", 10,
+                                     slop=1, ordered=False,
+                                     with_doc_cols=True), "near"))
+        .unionByName(leg(search_near(spark, idx, "window agg", 10,
+                                     slop=1, ordered=True,
+                                     with_doc_cols=True), "near_ord")))
 
 
 o_phrase_indexed = (
@@ -328,11 +342,31 @@ norm AS (
              t -> t <> ''), ' ') || ' ' AS s
   FROM documents
 ),
-ph AS (SELECT doc_id FROM norm WHERE contains(s, ' window agg '))
-SELECT sc.doc_id, round(sum(s), 6) AS score
-FROM sc JOIN ph USING (doc_id)
-GROUP BY sc.doc_id HAVING count(*) = 2
-ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+ph AS (SELECT doc_id FROM norm WHERE contains(s, ' window agg ')),
+docs_t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+             '[^a-z0-9_]+'), t -> t <> '') AS arr FROM documents),
+tokp AS (SELECT doc_id, unnest(arr) AS term,
+                generate_subscripts(arr, 1) AS pos FROM docs_t),
+pw AS (SELECT doc_id, pos FROM tokp WHERE term = 'window'),
+pa AS (SELECT doc_id, pos FROM tokp WHERE term = 'agg'),
+nr AS (SELECT DISTINCT pw.doc_id FROM pw JOIN pa USING (doc_id)
+       WHERE abs(pw.pos - pa.pos) <= 2),
+no AS (SELECT DISTINCT pw.doc_id FROM pw JOIN pa USING (doc_id)
+       WHERE pa.pos - pw.pos BETWEEN 1 AND 2),
+bm AS (SELECT sc.doc_id, sum(s) AS sraw FROM sc
+       GROUP BY sc.doc_id HAVING count(*) = 2),
+leg_p AS (SELECT doc_id, round(sraw, 6) AS score FROM bm
+          JOIN ph USING (doc_id)
+          ORDER BY sraw DESC, doc_id LIMIT 10),
+leg_n AS (SELECT doc_id, round(sraw, 6) AS score FROM bm
+          JOIN nr USING (doc_id)
+          ORDER BY sraw DESC, doc_id LIMIT 10),
+leg_o AS (SELECT doc_id, round(sraw, 6) AS score FROM bm
+          JOIN no USING (doc_id)
+          ORDER BY sraw DESC, doc_id LIMIT 10)
+SELECT 'phrase' AS leg, * FROM leg_p
+UNION ALL SELECT 'near' AS leg, * FROM leg_n
+UNION ALL SELECT 'near_ord' AS leg, * FROM leg_o
 """
 )
 
