@@ -209,13 +209,56 @@ def q_bm25_indexed_and(spark, sf_dir):
                 source_desc=f"{sf_dir}/documents.parquet")
     topk = search_indexed(spark, idx, "window agg", 10, "and",
                           with_doc_cols=True)
-    return topk.select(
-        F.substring("path", 5, 32).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
+
+    # r5 'mlt' leg: more-like-this from the doc store — term selection
+    # (top-20 tf·idf of fixture doc 42) + BM25 OR, source excluded.
+    # The oracle recomputes the selection from scratch in SQL.
+    from datastream_io_spark.operators.indexed_search import more_like_this
+
+    idx2 = _pos_index(spark, sf_dir)
+    src = (spark.read.parquet(os.path.join(idx2, "docs"))
+           .where(F.col("path") == "doc_42").select("doc_id")
+           .collect()[0][0])
+    mlt = more_like_this(spark, idx2, src, 10, 20, with_doc_cols=True)
+
+    def leg(df, name):
+        return df.select(
+            F.lit(name).alias("leg"),
+            F.substring("path", 5, 32).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+    return leg(topk, "and").unionByName(leg(mlt, "mlt"))
 
 
-o_bm25_indexed_and = _bm25_oracle(["agg", "window"], 10, "and")
+o_bm25_indexed_and = f"""
+WITH tok AS ({TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT avg(dl) FROM dl) AS avgdl),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+src AS (SELECT term, tf FROM tf WHERE doc_id = 42),
+w AS (SELECT s.term,
+             s.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS wt
+      FROM src s JOIN dfq d USING (term) CROSS JOIN st),
+sel AS (SELECT term FROM w ORDER BY wt DESC, term LIMIT 20),
+sc AS (SELECT tf.doc_id, tf.term,
+              ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term)
+       CROSS JOIN st),
+leg_a AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc
+          WHERE term IN ('agg', 'window')
+          GROUP BY doc_id HAVING count(*) = 2
+          ORDER BY sum(s) DESC, doc_id LIMIT 10),
+leg_m AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc
+          WHERE term IN (SELECT term FROM sel) AND doc_id <> 42
+          GROUP BY doc_id
+          ORDER BY sum(s) DESC, doc_id LIMIT 10)
+SELECT 'and' AS leg, doc_id, score FROM leg_a
+UNION ALL
+SELECT 'mlt' AS leg, doc_id, score FROM leg_m
+"""
 
 
 def q_bm25f(spark, sf_dir):

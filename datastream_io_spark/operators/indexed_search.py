@@ -1814,6 +1814,91 @@ def search_near(
                       phrase=NearSpec(terms, slop, ordered))
 
 
+def mlt_terms(spark: SparkSession, index_dir: str, doc_id: int,
+              max_terms: int = 20,
+              corpus: DataFrame | None = None) -> list[str]:
+    """The 'interesting terms' of one stored doc (Lucene MoreLikeThis
+    selection): tokenize the doc's content with the index's tokenizer,
+    weight each distinct term by tf·idf (idf from the index dict — the
+    same values scoring uses), keep the ``max_terms`` heaviest (ties:
+    term asc). Content comes from the index's own doc store
+    (``store_content=True`` builds) or, failing that, from ``corpus``
+    keyed by (repo, path, commit). Driver cost is O(one doc): one
+    pushed-down docs row fetch + one bucket-pruned dict lookup of the
+    doc's distinct terms."""
+    from collections import Counter
+
+    from datastream_io_spark.functions.tokenize import tokenizer_for
+
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    rows = docs.where(F.col("doc_id") == int(doc_id)).collect()
+    if not rows:
+        raise ValueError(f"doc_id {doc_id} not in index {index_dir}")
+    row = rows[0]
+    if "content" in docs.columns and row["content"] is not None:
+        text = row["content"]
+    elif corpus is not None:
+        crows = corpus.where(
+            (F.col("repo") == row["repo"])
+            & (F.col("path") == row["path"])
+            & (F.col("commit") == row["commit"])).limit(1).collect()
+        if not crows:
+            raise ValueError(
+                f"doc_id {doc_id} ({row['repo']}/{row['path']}) not "
+                "found in the supplied corpus")
+        text = crows[0]["content"]
+    else:
+        raise ValueError(
+            f"index at {index_dir} stores no content (built without "
+            "store_content=True) — pass the source corpus DataFrame")
+    pure, _ = tokenizer_for(stats["tokenizer"])
+    tf = Counter(pure(text))
+    if not tf:
+        return []
+    dict_rows = lookup_terms(spark, index_dir, sorted(tf),
+                             int(stats["n_buckets"]))
+    weighted = sorted(
+        ((-tf[r["term"]] * float(r["idf"]), r["term"])
+         for r in dict_rows),
+    )
+    return [t for _, t in weighted[:max_terms]]
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    doc_id: int,
+    k: int = 10,
+    max_terms: int = 20,
+    corpus: DataFrame | None = None,
+    with_doc_cols: bool = False,
+) -> DataFrame:
+    """Similar-document search (r5): BM25 OR over the source doc's
+    ``max_terms`` highest-tf·idf terms (:func:`mlt_terms`), with the
+    source doc itself excluded. The ranking job is exactly the OR
+    query plan — block-max decode skipping, per-split k-cut (k+1 so
+    evicting the source can never starve the page), one global
+    TakeOrdered."""
+    terms = mlt_terms(spark, index_dir, doc_id, max_terms, corpus)
+    empty = _empty_topk(spark, with_doc_cols)
+    if not terms:
+        return empty
+    stats = read_stats(index_dir)
+    dict_rows = lookup_terms(spark, index_dir, terms,
+                             int(stats["n_buckets"]))
+    if not dict_rows:
+        return empty
+    idf = {r["term"]: float(r["idf"]) for r in dict_rows}
+    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+    top = _wand_topk(spark, index_dir, idf, buckets,
+                     float(stats["avgdl"]), len(idf), k + 1, "or",
+                     with_doc_cols)
+    return (top.where(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def postings_rows(spark: SparkSession, index_dir: str, buckets: list,
                   terms: list[str],
                   postings_df: DataFrame | None = None) -> DataFrame:

@@ -789,3 +789,46 @@ def test_facet_counts_grouped_parity(spark, doc_index):
                                 "and").collect()]
     assert got == want and all(v != "de" for v, _ in got)
     shutil.rmtree(victim, ignore_errors=True)
+
+
+def test_more_like_this_matches_bruteforce(spark, pos_index, pos_pdf):
+    """r5 MLT: term selection = top tf·idf of the source doc (python
+    reference recomputes df/idf from the corpus), ranking = BM25 OR
+    over the selected terms minus the source doc."""
+    import math
+    from collections import Counter
+
+    from datastream_io_spark.functions.tokenize import tokenizer_for
+    from datastream_io_spark.operators.indexed_search import (
+        mlt_terms, more_like_this)
+
+    pure, _ = tokenizer_for("simple")
+    n = len(pos_pdf)
+    toks = {int(r.doc_id): pure(r.text) for r in pos_pdf.itertuples()}
+    df = Counter()
+    for t in toks.values():
+        df.update(set(t))
+
+    corpus = documents_as_corpus(spark, SF0001)
+    for src in sorted(toks)[:3]:
+        tf = Counter(toks[src])
+        exp_sel = [t for _, t in sorted(
+            (-tf[t] * math.log1p((n - df[t] + 0.5) / (df[t] + 0.5)), t)
+            for t in tf)[:20]]
+        got_sel = mlt_terms(spark, pos_index, src, 20, corpus=corpus)
+        assert got_sel == exp_sel, src
+
+        exp = [e for e in brute_force_topk(
+            pos_pdf, " ".join(exp_sel), k=11, mode="or")
+            if e["doc_id"] != src][:10]
+        got = more_like_this(spark, pos_index, src, 10, 20,
+                             corpus=corpus).collect()
+        assert [r.doc_id for r in got] == [e["doc_id"] for e in exp]
+        for g, e in zip(got, exp):
+            assert g.score == pytest.approx(e["score"], abs=1e-9)
+        assert all(r.doc_id != src for r in got)
+
+    with pytest.raises(ValueError, match="not in index"):
+        mlt_terms(spark, pos_index, 10**9, 20, corpus=corpus)
+    with pytest.raises(ValueError, match="store_content"):
+        mlt_terms(spark, pos_index, next(iter(sorted(toks))), 20)
