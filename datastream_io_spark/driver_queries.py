@@ -539,26 +539,48 @@ o_suggest_terms = (
 
 
 def q_wildcard_search(spark, sf_dir):
-    """Q18 — prefix wildcard: ``s*`` expands (dict StartsWith scan) to
-    the index terms starting with 's', ranked by the OR-mode BM25 sum
-    over the expansions. The oracle scores every fixture term LIKE 's%'
+    """Q18 — term-expansion rewrites. Leg 'wild': ``s*`` expands (dict
+    StartsWith scan) to the index terms starting with 's'. Leg 'regex'
+    (r5): full-match ``s.*a.*`` expands via the literal-prefix-pruned
+    dict scan. Both rank by the OR-mode BM25 sum over the expansions;
+    the oracles score every fixture term LIKE 's%' / regexp_full_match
     — identical semantics while the expansion cap isn't hit."""
-    from datastream_io_spark.operators.indexed_search import search_wildcard
+    from datastream_io_spark.operators.indexed_search import (
+        search_regex, search_wildcard)
 
-    topk = search_wildcard(spark, _pos_index(spark, sf_dir), "s*", k=10,
-                           with_doc_cols=True)
-    return topk.select(
-        F.substring("path", 5, 32).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
+    idx = _pos_index(spark, sf_dir)
+    def leg(df, name):
+        return df.select(
+            F.lit(name).alias("leg"),
+            F.substring("path", 5, 32).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+    return (leg(search_wildcard(spark, idx, "s*", k=10,
+                                with_doc_cols=True), "wild")
+            .unionByName(leg(search_regex(spark, idx, "s.*a.*", k=10,
+                                          with_doc_cols=True), "regex")))
 
 
 # the IN (...) hole takes a subquery: every tokenized-fixture term with
-# the prefix — the uncapped equivalent of the dict expansion
+# the prefix / matching the pattern — the uncapped equivalent of the
+# dict expansion
 o_wildcard_search = (
     BM25_CTE.format(terms="SELECT term FROM dfq WHERE term LIKE 's%'")
-    + "SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id "
-    "ORDER BY sum(s) DESC, doc_id LIMIT 10"
+    + """,
+sc_r AS (SELECT tf.doc_id,
+              ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+       WHERE tf.term IN (SELECT term FROM dfq
+                         WHERE regexp_full_match(term, 's.*a.*'))),
+leg_w AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc
+          GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10),
+leg_r AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc_r
+          GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 10)
+SELECT 'wild' AS leg, doc_id, score FROM leg_w
+UNION ALL
+SELECT 'regex' AS leg, doc_id, score FROM leg_r
+"""
 )
 
 

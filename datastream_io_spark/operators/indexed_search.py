@@ -1432,6 +1432,56 @@ def search_wildcard(spark: SparkSession, index_dir: str, prefix: str,
         expansion_df=prefix_expansion_df(spark, index_dir, prefix))
 
 
+_REGEX_META = set(".[]{}()*+?|^$\\")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex (chars before the first
+    metacharacter, leading ``^`` stripped) — the handle that lets a
+    regex expansion ride the same range-file skipping as wildcard."""
+    p = pattern[1:] if pattern.startswith("^") else pattern
+    out = []
+    for ch in p:
+        if ch in _REGEX_META:
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def search_regex(spark: SparkSession, index_dir: str, pattern: str,
+                 k: int = 10, max_expansions: int = 128,
+                 with_doc_cols: bool = False) -> DataFrame:
+    """Regex term search (r5, Lucene RegexpQuery semantics): expand
+    ``pattern`` to the index terms it FULLY matches (the pattern is
+    anchored — ``con.*`` matches 'config', ``fig`` does not match
+    'config'), then rank with the normal OR-mode kernel, same
+    (df desc, term asc) ``max_expansions`` cap as wildcard/fuzzy.
+
+    Scale path: the pattern's literal prefix (chars before the first
+    metacharacter) prunes the expansion scan — via the term-range
+    ``dict_sorted/`` sidecar when fresh (file skipping), else as a
+    pushed StartsWith alongside the rlike (row-group skipping). A
+    prefix-less pattern (``.*ser``) honestly scans the dictionary —
+    the same cost class every engine pays for leading-wildcard terms.
+    Patterns use JVM regex syntax (executor-side ``rlike``)."""
+    from datastream_io_spark.operators.dictindex import prefix_expansion_df
+
+    pat = pattern.lower()
+    if not pat:
+        return _empty_topk(spark, with_doc_cols)
+    cond = F.col("term").rlike(f"^(?:{pat})$")
+    pref = _regex_literal_prefix(pat)
+    exp = None
+    if pref:
+        cond = F.col("term").startswith(pref) & cond
+        base = prefix_expansion_df(spark, index_dir, pref)
+        if base is not None:
+            exp = base.where(F.col("term").rlike(f"^(?:{pat})$"))
+    return _expansion_or_topk(spark, index_dir, cond, k,
+                              max_expansions, with_doc_cols,
+                              expansion_df=exp)
+
+
 def search_fuzzy(spark: SparkSession, index_dir: str, term: str,
                  k: int = 10, max_dist: int = 1, max_expansions: int = 128,
                  with_doc_cols: bool = False) -> DataFrame:

@@ -18,7 +18,7 @@ def main(argv: list[str]) -> int:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--mode", default="and",
                    choices=["and", "or", "phrase", "boolean", "wildcard",
-                            "fuzzy", "near"],
+                            "fuzzy", "near", "regex"],
                    help="phrase/near (and quoted phrases in boolean) need "
                         "an index built with positions=True; boolean "
                         "parses AND/OR/NOT, parentheses, and "
@@ -60,7 +60,7 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
     if args.snippets:
-        if args.mode in ("boolean", "wildcard", "fuzzy", "near"):
+        if args.mode in ("boolean", "wildcard", "fuzzy", "near", "regex"):
             p.error("--snippets supports modes and/or/phrase")
         corpus = (spark.read.parquet(args.src)
                   if args.src is not None else None)
@@ -74,7 +74,7 @@ def main(argv: list[str]) -> int:
               f"(mode={args.mode})")
         return 0
     if args.facet is not None:
-        if args.mode in ("boolean", "wildcard", "fuzzy", "near"):
+        if args.mode in ("boolean", "wildcard", "fuzzy", "near", "regex"):
             p.error("--facet supports modes and/or/phrase")
         rows = facet_counts(spark, args.index, args.query, args.facet,
                             args.mode).collect()
@@ -93,6 +93,10 @@ def main(argv: list[str]) -> int:
     elif args.mode == "fuzzy":
         result = search_fuzzy(spark, args.index, args.query, args.k,
                               max_dist=args.max_dist, with_doc_cols=True)
+    elif args.mode == "regex":
+        from datastream_io_spark.operators.indexed_search import search_regex
+        result = search_regex(spark, args.index, args.query, args.k,
+                              with_doc_cols=True)
     elif args.mode == "near":
         from datastream_io_spark.operators.indexed_search import search_near
         result = search_near(spark, args.index, args.query, args.k,

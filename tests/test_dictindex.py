@@ -235,3 +235,44 @@ def test_index_n_terms_none_when_key_absent(tmp_path):
     with open(os.path.join(idx, "_INDEX_SUCCESS"), "w") as f:
         json.dump({"n_terms": 42}, f)
     assert _index_n_terms(idx) == 42
+
+
+def test_regex_search_parity_and_bruteforce(spark, doc_index,
+                                            sidecar_index):
+    """r5 regex: sidecar-pruned == base-dict answers; membership and
+    ranking equal an independent python re.fullmatch expansion fed to
+    the brute-force OR scorer; anchoring is full-match."""
+    import re
+
+    from datastream_io_spark.golden import brute_force_topk
+    from datastream_io_spark.operators.indexed_search import (
+        _regex_literal_prefix, search_regex)
+    from tests.conftest import docs_with_text
+
+    assert _regex_literal_prefix("^con.*") == "con"
+    assert _regex_literal_prefix("s.*a.*") == "s"
+    assert _regex_literal_prefix(".*ser") == ""
+    assert _regex_literal_prefix("(a|b)c") == ""
+
+    corpus = documents_as_corpus(spark, SF0001)
+    pdf = docs_with_text(spark, doc_index, corpus).toPandas()
+    vocab = sorted({r.term for r in spark.read.parquet(
+        f"{doc_index}/dict").select("term").collect()})
+
+    for pat in ("s.*a.*", "w.+w", "me(rge)?", ".*dow", "(scan|sort)",
+                "zz.*"):
+        a = _topk(spark, search_regex(spark, sidecar_index, pat, 10))
+        b = _topk(spark, search_regex(spark, doc_index, pat, 10))
+        assert a == b, pat
+        exp_terms = [t for t in vocab if re.fullmatch(pat, t)]
+        if exp_terms:
+            exp = brute_force_topk(pdf, " ".join(exp_terms), k=10,
+                                   mode="or")
+            assert [x[0] for x in b] == [e["doc_id"] for e in exp], pat
+            for x, e in zip(b, exp):
+                assert x[1] == pytest.approx(e["score"], abs=1e-9)
+        else:
+            assert b == [], pat
+    # full-match anchoring: a mid-term fragment matches nothing
+    assert _topk(spark, search_regex(spark, doc_index, "indo", 10)) == []
+    assert _topk(spark, search_regex(spark, doc_index, "", 10)) == []
