@@ -213,10 +213,53 @@ class Searcher:
         rows = self._warm_expansion(q, "fuzzy", max_dist, max_expansions)
         return self._or_over(rows, k, with_doc_cols)
 
+    def search_near(self, query: str, k: int = 10, slop: int = 2,
+                    ordered: bool = False,
+                    with_doc_cols: bool = False) -> DataFrame:
+        """:func:`search_near` on the warm path — all planning from the
+        cached dict; identical results (parity-tested)."""
+        plan = _near_plan(self.stats, self._lookup, query, slop, ordered)
+        if plan is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double")
+        idf, n_terms, qmode, spec, buckets = plan
+        return _wand_topk(self.spark, self.index_dir, idf, buckets,
+                          float(self.stats["avgdl"]), n_terms, k, qmode,
+                          with_doc_cols, phrase=spec,
+                          postings_df=self._postings_df,
+                          docs_df=self._docs_df)
+
+    def search_regex(self, pattern: str, k: int = 10,
+                     max_expansions: int = 128,
+                     with_doc_cols: bool = False) -> DataFrame:
+        """:func:`search_regex` on the warm path — expansion by
+        ``re.fullmatch`` over the driver-cached dict, zero extra Spark
+        jobs. Dialect note: the cold path matches with JVM regex, the
+        warm cache with Python ``re`` — identical on the common syntax
+        subset (parity-tested); exotic constructs may differ between
+        the two, same caveat Lucene documents across its regexp APIs."""
+        pat = pattern.lower()
+        if not pat:
+            return _empty_topk(self.spark, with_doc_cols)
+        if self._dict_pdf is None:
+            return search_regex(self.spark, self.index_dir, pat, k,
+                                max_expansions, with_doc_cols)
+        rows = self._warm_expansion(pat, "regex", 0, max_expansions)
+        return self._or_over(rows, k, with_doc_cols)
+
     def _warm_expansion(self, q: str, mode: str, max_dist: int,
                         max_expansions: int) -> list[dict]:
-        """Wildcard/fuzzy expansion against the driver-cached dict
-        (zero Spark jobs). Same cap semantics as the cold paths."""
+        """Wildcard/fuzzy/regex expansion against the driver-cached
+        dict (zero Spark jobs). Same cap semantics as the cold paths."""
+        if mode == "regex":
+            import re
+
+            rx = re.compile(q.lower())
+            mask = np.fromiter(
+                (rx.fullmatch(t) is not None
+                 for t in self._dict_pdf.index), bool,
+                count=len(self._dict_pdf))
+            return self._expansion_rows(mask, max_expansions)
         if mode == "wildcard":
             prefix = q.lower().rstrip("*")
             if not prefix:
@@ -242,20 +285,34 @@ class Searcher:
 
     def search_many(self, queries: dict[str, str], k: int = 10,
                     mode: str = "and", max_dist: int = 1,
-                    max_expansions: int = 128) -> DataFrame:
+                    max_expansions: int = 128, slop: int = 2,
+                    ordered: bool = False) -> DataFrame:
         """Q13 on the warm path — every batched mode with ALL planning
-        (term lookup, boolean idf, wildcard/fuzzy expansion) resolved
-        from the driver-cached dict: the whole batch costs ONE Spark
-        job regardless of mode. Results identical to the module-level
-        :func:`search_many` (parity-tested per mode)."""
+        (term lookup, boolean idf, wildcard/fuzzy/regex expansion,
+        near windows) resolved from the driver-cached dict: the whole
+        batch costs ONE Spark job regardless of mode. Results identical
+        to the module-level :func:`search_many` (parity-tested per
+        mode)."""
         if mode not in ("and", "or", "phrase", "boolean", "wildcard",
-                        "fuzzy"):
+                        "fuzzy", "regex", "near"):
             raise ValueError(
                 "mode must be 'and', 'or', 'phrase', 'boolean', "
-                f"'wildcard' or 'fuzzy', got {mode!r}")
+                f"'wildcard', 'fuzzy', 'regex' or 'near', got {mode!r}")
         if self._dict_pdf is None:
             return search_many(self.spark, self.index_dir, queries, k,
-                               mode, max_dist, max_expansions)
+                               mode, max_dist, max_expansions,
+                               slop=slop, ordered=ordered)
+        if mode == "near":
+            plans_w = {}
+            for qid, q in queries.items():
+                plan = _near_plan(self.stats, self._lookup, q, slop,
+                                  ordered)
+                if plan is not None:
+                    idf_q, n_terms, qmode, spec, _ = plan
+                    plans_w[qid] = (idf_q, n_terms, qmode, spec)
+            return _search_many_wand_tail(
+                self.spark, self.index_dir, self.stats, plans_w, k,
+                postings_df=self._postings_df)
         if mode == "boolean":
             from datastream_io_spark.operators.boolean_search import (
                 plan_boolean,
@@ -277,7 +334,7 @@ class Searcher:
                 self.spark, self.index_dir, self.stats, plans_b,
                 sorted(all_terms), k, postings_df=self._postings_df)
         plans_w = {}
-        if mode in ("wildcard", "fuzzy"):
+        if mode in ("wildcard", "fuzzy", "regex"):
             for qid, q in queries.items():
                 rows = self._warm_expansion(q, mode, max_dist,
                                             max_expansions)
@@ -952,7 +1009,8 @@ def snippets(spark: SparkSession, index_dir: str,
 def search_many(spark: SparkSession, index_dir: str,
                 queries: dict[str, str], k: int = 10,
                 mode: str = "and", max_dist: int = 1,
-                max_expansions: int = 128) -> DataFrame:
+                max_expansions: int = 128, slop: int = 2,
+                ordered: bool = False) -> DataFrame:
     """Q13 — batched serving: answer MANY queries in ONE Spark job.
 
     A single-query search pays a fixed job-launch cost (~hundreds of ms
@@ -964,16 +1022,18 @@ def search_many(spark: SparkSession, index_dir: str,
     'and' | 'or' | 'phrase' (positional index) | 'boolean' (each query
     string is a full boolean expression, quoted phrases included) |
     'wildcard' (each query a prefix) | 'fuzzy' (each query a term,
-    shared ``max_dist``) — the expansion modes resolve their term sets
-    first (sidecar-backed when built), then ride the same shared OR
-    kernel. Returns DF[query_id, doc_id, score] with per-query
-    (score desc, doc_id asc) top-k — each query's rows are identical
-    to its individual single-query answer (parity-tested per mode)."""
+    shared ``max_dist``) | 'regex' (each query an anchored pattern) |
+    'near' (shared ``slop``/``ordered``) — the expansion modes resolve
+    their term sets first (sidecar-backed when built), then ride the
+    same shared OR kernel. Returns DF[query_id, doc_id, score] with
+    per-query (score desc, doc_id asc) top-k — each query's rows are
+    identical to its individual single-query answer (parity-tested per
+    mode)."""
     if mode not in ("and", "or", "phrase", "boolean", "wildcard",
-                    "fuzzy"):
+                    "fuzzy", "regex", "near"):
         raise ValueError(
-            "mode must be 'and', 'or', 'phrase', 'boolean', 'wildcard' "
-            f"or 'fuzzy', got {mode!r}")
+            "mode must be 'and', 'or', 'phrase', 'boolean', 'wildcard', "
+            f"'fuzzy', 'regex' or 'near', got {mode!r}")
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
     n_buckets = int(stats["n_buckets"])
@@ -1001,7 +1061,7 @@ def search_many(spark: SparkSession, index_dir: str,
         return _search_many_boolean_tail(spark, index_dir, stats,
                                          plans_b, sorted(all_terms), k)
 
-    if mode in ("wildcard", "fuzzy"):
+    if mode in ("wildcard", "fuzzy", "regex"):
         plans_w = {}
         for qid, q in queries.items():
             rows = _expansion_rows_cold(spark, index_dir, q, mode,
@@ -1009,6 +1069,27 @@ def search_many(spark: SparkSession, index_dir: str,
             if rows:
                 found = {r["term"]: float(r["idf"]) for r in rows}
                 plans_w[qid] = (found, len(found), "or", None)
+        return _search_many_wand_tail(spark, index_dir, stats, plans_w,
+                                      k)
+
+    if mode == "near":
+        # ONE dict job for the union of every query's terms, then each
+        # query plans from the prefetched rows
+        allt: set = set()
+        for q in queries.values():
+            allt.update(parse_phrase(q, stats["tokenizer"]))
+        cache = ({r["term"]: r for r in lookup_terms(
+            spark, index_dir, sorted(allt), n_buckets)} if allt else {})
+
+        def cached_lookup(ts):
+            return [cache[t] for t in ts if t in cache]
+
+        plans_w = {}
+        for qid, q in queries.items():
+            plan = _near_plan(stats, cached_lookup, q, slop, ordered)
+            if plan is not None:
+                idf_q, n_terms, qmode, spec, _ = plan
+                plans_w[qid] = (idf_q, n_terms, qmode, spec)
         return _search_many_wand_tail(spark, index_dir, stats, plans_w,
                                       k)
 
@@ -1063,6 +1144,11 @@ def _expansion_rows_cold(spark: SparkSession, index_dir: str, q: str,
             exp = spark.read.parquet(
                 os.path.join(index_dir, "dict")).where(
                 F.col("term").startswith(prefix))
+    elif mode == "regex":
+        pat = q.lower()
+        if not pat:
+            return []
+        exp = _regex_expansion_df(spark, index_dir, pat)
     else:
         qq = _fuzzy_term(q)
         if not qq:
@@ -1464,22 +1550,31 @@ def search_regex(spark: SparkSession, index_dir: str, pattern: str,
     prefix-less pattern (``.*ser``) honestly scans the dictionary —
     the same cost class every engine pays for leading-wildcard terms.
     Patterns use JVM regex syntax (executor-side ``rlike``)."""
-    from datastream_io_spark.operators.dictindex import prefix_expansion_df
-
     pat = pattern.lower()
     if not pat:
         return _empty_topk(spark, with_doc_cols)
-    cond = F.col("term").rlike(f"^(?:{pat})$")
+    return _expansion_or_topk(spark, index_dir, None, k,
+                              max_expansions, with_doc_cols,
+                              expansion_df=_regex_expansion_df(
+                                  spark, index_dir, pat))
+
+
+def _regex_expansion_df(spark: SparkSession, index_dir: str,
+                        pat: str) -> DataFrame:
+    """The expansion source of one anchored regex: sidecar range files
+    under the literal prefix when available, else one dict scan with a
+    pushed StartsWith (when a prefix exists) + rlike."""
+    from datastream_io_spark.operators.dictindex import prefix_expansion_df
+
+    full = F.col("term").rlike(f"^(?:{pat})$")
     pref = _regex_literal_prefix(pat)
-    exp = None
     if pref:
-        cond = F.col("term").startswith(pref) & cond
         base = prefix_expansion_df(spark, index_dir, pref)
         if base is not None:
-            exp = base.where(F.col("term").rlike(f"^(?:{pat})$"))
-    return _expansion_or_topk(spark, index_dir, cond, k,
-                              max_expansions, with_doc_cols,
-                              expansion_df=exp)
+            return base.where(full)
+        full = F.col("term").startswith(pref) & full
+    return spark.read.parquet(
+        os.path.join(index_dir, "dict")).where(full)
 
 
 def search_fuzzy(spark: SparkSession, index_dir: str, term: str,
@@ -1835,33 +1930,45 @@ def search_near(
     streams (decoded once per (term, block), only for blocks holding
     candidates), per-split k-cut, one global TakeOrdered. Positional
     index required."""
-    if slop < 0:
-        raise ValueError(f"slop must be ≥ 0, got {slop}")
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
+    plan = _near_plan(
+        stats, lambda ts: lookup_terms(spark, index_dir, ts,
+                                       int(stats["n_buckets"])),
+        query, slop, ordered)
+    if plan is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf, n_terms, qmode, spec, buckets = plan
+    return _wand_topk(spark, index_dir, idf, buckets,
+                      float(stats["avgdl"]), n_terms, k, qmode,
+                      with_doc_cols, phrase=spec)
+
+
+def _near_plan(stats: dict, rows_lookup, query: str, slop: int,
+               ordered: bool):
+    """Resolve one near query against any dict-lookup callable (cold
+    job or warm cache): (idf, n_terms, qmode, spec, buckets), or None
+    when the query is empty / a term is absent (conjunctive). A single
+    distinct term degrades to AND (any window is trivially satisfied)."""
+    if slop < 0:
+        raise ValueError(f"slop must be ≥ 0, got {slop}")
     if not stats.get("positions", False):
         raise ValueError(
             "near search needs a positional index — rebuild with "
             "build_index(..., positions=True)")
     seq = parse_phrase(query, stats["tokenizer"])
     terms = list(dict.fromkeys(seq))  # distinct, query order
-    spark_empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
-        return spark_empty
-    dict_rows = lookup_terms(spark, index_dir, terms,
-                             int(stats["n_buckets"]))
-    if len(dict_rows) < len(terms):
-        return spark_empty  # conjunction — a missing term ends it
-    idf = {r["term"]: float(r["idf"]) for r in dict_rows}
-    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+        return None
+    rows = rows_lookup(terms)
+    if len(rows) < len(terms):
+        return None  # conjunction — a missing term ends it
+    idf = {r["term"]: float(r["idf"]) for r in rows}
+    buckets = sorted({int(r["term_bucket"]) for r in rows})
     if len(terms) == 1:
-        return _wand_topk(spark, index_dir, idf, buckets,
-                          float(stats["avgdl"]), 1, k, "and",
-                          with_doc_cols)
-    return _wand_topk(spark, index_dir, idf, buckets,
-                      float(stats["avgdl"]), len(terms), k, "phrase",
-                      with_doc_cols,
-                      phrase=NearSpec(terms, slop, ordered))
+        return idf, 1, "and", None, buckets
+    return (idf, len(terms), "phrase", NearSpec(terms, slop, ordered),
+            buckets)
 
 
 def mlt_terms(spark: SparkSession, index_dir: str, doc_id: int,

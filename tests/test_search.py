@@ -832,3 +832,54 @@ def test_more_like_this_matches_bruteforce(spark, pos_index, pos_pdf):
         mlt_terms(spark, pos_index, 10**9, 20, corpus=corpus)
     with pytest.raises(ValueError, match="store_content"):
         mlt_terms(spark, pos_index, next(iter(sorted(toks))), 20)
+
+
+def test_warm_near_regex_and_batched_modes_parity(spark, pos_index):
+    """r5: warm Searcher near/regex and the 'near'/'regex' batched
+    modes all equal their cold single-query answers."""
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher, search_many, search_near, search_regex)
+
+    s = Searcher(spark, pos_index, dict_cache="driver")
+
+    def key(df):
+        return [(r.doc_id, round(r.score, 9)) for r in df.collect()]
+
+    nears = {"n1": ("window agg", 1, False), "n2": ("agg window", 2, True),
+             "n3": ("scan merge sort", 3, False)}
+    for qid, (q, slop, ordered) in nears.items():
+        cold = key(search_near(spark, pos_index, q, 10, slop, ordered))
+        assert key(s.search_near(q, 10, slop, ordered)) == cold, qid
+
+    for slop, ordered in [(1, False), (2, True)]:
+        batch = search_many(
+            spark, pos_index,
+            {qid: q for qid, (q, _, _) in nears.items()}, 10, "near",
+            slop=slop, ordered=ordered)
+        wbatch = s.search_many(
+            {qid: q for qid, (q, _, _) in nears.items()}, 10, "near",
+            slop=slop, ordered=ordered)
+        for df in (batch, wbatch):
+            got = {}
+            for r in df.collect():
+                got.setdefault(r.query_id, []).append(
+                    (r.doc_id, round(r.score, 9)))
+            for qid, (q, _, _) in nears.items():
+                cold = key(search_near(spark, pos_index, q, 10, slop,
+                                       ordered))
+                assert got.get(qid, []) == cold, (qid, slop, ordered)
+
+    pats = {"r1": "s.*a.*", "r2": "w.+w", "r3": "(scan|sort)",
+            "r4": "zz.*"}
+    for qid, pat in pats.items():
+        cold = key(search_regex(spark, pos_index, pat, 10))
+        assert key(s.search_regex(pat, 10)) == cold, qid
+    for df in (search_many(spark, pos_index, pats, 10, "regex"),
+               s.search_many(pats, 10, "regex")):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, []).append(
+                (r.doc_id, round(r.score, 9)))
+        for qid, pat in pats.items():
+            cold = key(search_regex(spark, pos_index, pat, 10))
+            assert got.get(qid, []) == cold, qid
