@@ -159,13 +159,25 @@ def main() -> None:
     from datastream_io_spark.operators.indexed_search import (
         facet_counts,
         facet_counts_grouped,
+        more_like_this,
     )
 
+    doc_corpus = documents_as_corpus(spark, sf_dir)
+    mlt_src = doc_searcher.search("window agg", 1, "and").collect()[0].doc_id
     for key, fn in [
         ("q_doc_wildcard", lambda: doc_searcher.search_wildcard(
             "s*", 10).collect()),
         ("q_doc_fuzzy", lambda: doc_searcher.search_fuzzy(
             "hast", 10, max_dist=2).collect()),
+        # r5 additions: proximity (warm, positional), regex expansion
+        # (warm dict cache), more-like-this (corpus-backed content)
+        ("q_doc_near", lambda: doc_searcher.search_near(
+            "window agg", 10, slop=1, ordered=True).collect()),
+        ("q_doc_regex", lambda: doc_searcher.search_regex(
+            "s.*a.*", 10).collect()),
+        ("q_doc_mlt", lambda: more_like_this(
+            spark, doc_idx, mlt_src, 10, 20,
+            corpus=doc_corpus).collect()),
         ("q_doc_facet", lambda: facet_counts(
             spark, doc_idx, "window agg", "lang", "and").collect()),
         # non-partition-column facet path (r5): exact counts with no
