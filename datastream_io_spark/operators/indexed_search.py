@@ -923,7 +923,8 @@ def match_positions(spark: SparkSession, index_dir: str, query: str,
 
 def snippets(spark: SparkSession, index_dir: str,
              corpus: DataFrame | None, query: str, k: int = 10,
-             mode: str = "and", width: int = 12) -> DataFrame:
+             mode: str = "and", width: int = 12, slop: int = 2,
+             ordered: bool = False) -> DataFrame:
     """Q16 — display snippets: for each top-k hit, the ``width``-token
     window of its content holding the densest cluster of query-term
     matches. Composes Q8 (top-k) + Q10 (index-side positions) with ONE
@@ -945,8 +946,14 @@ def snippets(spark: SparkSession, index_dir: str,
     _check_format(stats, index_dir)
     empty = spark.createDataFrame(
         [], "doc_id long, score double, snippet string, n_hits int")
-    top = search_indexed(spark, index_dir, query, k, mode,
-                         with_doc_cols=True).collect()
+    if mode == "near":
+        # r5: proximity-gated hit set; windows anchor on the same
+        # query-term occurrences (match_positions is term-based)
+        top = search_near(spark, index_dir, query, k, slop, ordered,
+                          with_doc_cols=True).collect()
+    else:
+        top = search_indexed(spark, index_dir, query, k, mode,
+                             with_doc_cols=True).collect()
     if not top:
         return empty
     mp = match_positions(spark, index_dir, query,

@@ -48,6 +48,14 @@ def main(argv: list[str]) -> int:
     p.add_argument("--snippet-width", type=int, default=12)
     p.add_argument("--relational", action="store_true",
                    help="also run the index-free relational path (self-oracle)")
+    p.add_argument("--partitioned", action="store_true",
+                   help="--index is a PARTITIONED root (build_partitioned"
+                        "_index layout). With --value, route to that "
+                        "subindex (partition-local stats); without, run "
+                        "the GLOBAL cross-partition top-k under merged "
+                        "statistics (and/or/phrase)")
+    p.add_argument("--value", default=None,
+                   help="partition value to route to (with --partitioned)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,13 +67,46 @@ def main(argv: list[str]) -> int:
 
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
+    if args.partitioned:
+        if args.snippets or args.facet is not None or args.mode not in (
+                "and", "or", "phrase"):
+            p.error("--partitioned supports modes and/or/phrase "
+                    "(no --snippets/--facet; point --index at a "
+                    "subindex dir for those)")
+        from datastream_io_spark.operators.partitioned import (
+            read_partitioned, search_all_partitions, search_partitioned)
+
+        if args.value is not None:
+            result = search_partitioned(
+                spark, args.index, args.value, args.query, args.k,
+                args.mode, with_doc_cols=True)
+            rows = result.collect()
+            dt = time.time() - t0
+            for r in rows:
+                print(f"{r.score:12.6f}  doc={r.doc_id:<10d} "
+                      f"{r.repo}/{r.path}")
+        else:
+            by = read_partitioned(args.index)["by"]
+            result = search_all_partitions(
+                spark, args.index, args.query, args.k, args.mode,
+                with_doc_cols=True)
+            rows = result.collect()
+            dt = time.time() - t0
+            for r in rows:
+                print(f"{r.score:12.6f}  {by}={r[by]:<8} "
+                      f"doc={r.doc_id:<10d} {r.repo}/{r.path}")
+        print(f"-- {len(rows)} rows in {dt * 1000:.0f} ms "
+              f"(partitioned, mode={args.mode}, "
+              f"value={args.value or '<global>'})")
+        return 0
     if args.snippets:
-        if args.mode in ("boolean", "wildcard", "fuzzy", "near", "regex"):
-            p.error("--snippets supports modes and/or/phrase")
+        if args.mode in ("boolean", "wildcard", "fuzzy", "regex"):
+            p.error("--snippets supports modes and/or/phrase/near")
         corpus = (spark.read.parquet(args.src)
                   if args.src is not None else None)
         rows = snippets(spark, args.index, corpus, args.query, args.k,
-                        args.mode, width=args.snippet_width).collect()
+                        args.mode, width=args.snippet_width,
+                        slop=args.slop, ordered=args.ordered).collect()
         dt = time.time() - t0
         for r in rows:
             print(f"{r['score']:12.6f}  doc={r['doc_id']:<6} "

@@ -276,3 +276,22 @@ def test_regex_search_parity_and_bruteforce(spark, doc_index,
     # full-match anchoring: a mid-term fragment matches nothing
     assert _topk(spark, search_regex(spark, doc_index, "indo", 10)) == []
     assert _topk(spark, search_regex(spark, doc_index, "", 10)) == []
+
+
+def test_regex_expansion_pushes_prefix_and_falls_back(spark,
+                                                      sidecar_index):
+    """r5: a regex with a literal prefix rides the dict_sorted range
+    scan (pushed StartsWith → file skipping) when the sidecar is
+    fresh; a prefix-less pattern honestly scans — both produce the
+    same answers (test_regex_search_parity covers doc_index parity)."""
+    from datastream_io_spark.operators.indexed_search import (
+        _regex_expansion_df)
+
+    df = _regex_expansion_df(spark, sidecar_index, "s.*a.*")
+    scans = scan_info(df)
+    assert scans and "StartsWith(term,s)" in scans[0]["PushedFilters"]
+    assert "dict_sorted" in scans[0]["raw"]
+    # prefix-less: base dict scan, no sidecar
+    df2 = _regex_expansion_df(spark, sidecar_index, ".*dow")
+    scans2 = scan_info(df2)
+    assert scans2 and "dict_sorted" not in scans2[0]["raw"]

@@ -251,3 +251,29 @@ def test_near_degenerate_forms(spark, pos_index, doc_index):
         search_near(spark, doc_index, "window agg", 10, 1)
     # absent term → empty (conjunctive semantics)
     assert search_near(spark, pos_index, "window zzznope", 10, 5).count() == 0
+
+
+def test_snippets_near_mode(spark, pos_index, pos_pdf):
+    """r5: snippets(mode='near') gates the hit set with the proximity
+    predicate (docs/scores == search_near) while the window anchoring
+    stays the standard densest-window rule."""
+    from datastream_io_spark.functions.tokenize import tokenize_simple
+    from datastream_io_spark.operators.indexed_search import (
+        search_near, snippets)
+    from datastream_io_spark.sources.scan import documents_as_corpus
+    from tests.conftest import SF0001
+
+    width, q, slop = 9, "window agg", 1
+    corpus = documents_as_corpus(spark, SF0001)
+    got = snippets(spark, pos_index, corpus, q, k=10, mode="near",
+                   width=width, slop=slop, ordered=True).collect()
+    top = search_near(spark, pos_index, q, 10, slop, True).collect()
+    assert got and [(r.doc_id, round(r.score, 9)) for r in got] == \
+        [(r.doc_id, round(r.score, 9)) for r in top]
+    text_of = dict(zip(pos_pdf["doc_id"], pos_pdf["text"]))
+    for r in got:
+        toks = tokenize_simple(text_of[r.doc_id])
+        hits = [i for i, t in enumerate(toks) if t in ("window", "agg")]
+        best = max(hits, key=lambda p: (
+            sum(1 for x in hits if p <= x < p + width), -p))
+        assert r.snippet == " ".join(toks[best:best + width]), r.doc_id
