@@ -390,3 +390,46 @@ def search_all_partitions(
                 .select(by, "doc_id", *doc_cols, "score")
                 .orderBy(F.desc("score"), F.asc(by), F.asc("doc_id")))
     return topk
+
+
+def facet_counts_all_partitions(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    facet_col: str,
+    mode: str = "and",
+) -> DataFrame:
+    """Facet counts over an ARBITRARY column across the WHOLE
+    partitioned root (r5): per-subindex exact no-join counts
+    (:func:`~datastream_io_spark.operators.indexed_search.
+    facet_counts_grouped` — per-split value arrays cogrouped with the
+    pruned postings, ≤V integers per split) unioned and re-summed by
+    value in one action. Facet membership is score-independent, so the
+    counts equal :func:`facet_counts_grouped` over an unpartitioned
+    index of the same corpus exactly (parity-tested) — the subindexes'
+    differing local statistics never enter. Complements
+    :func:`facet_counts_partitioned` (partition-key facets, match
+    counters only) for the cross-tenant sidebar case.
+
+    Output: DF[facet_col, n_docs] in (n_docs desc, value asc) order,
+    zero-count values omitted — the same contract as every facet
+    surface."""
+    from datastream_io_spark.operators.indexed_search import (
+        facet_counts_grouped,
+    )
+
+    manifest = read_partitioned(root)
+    by = manifest["by"]
+    values = sorted(manifest["values"])
+    parts = [facet_counts_grouped(spark, _subdir(root, by, v), query,
+                                  facet_col, mode) for v in values]
+    out = parts[0] if parts else None
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    if out is None:
+        return spark.createDataFrame(
+            [], f"{facet_col} string, n_docs long")
+    return (out.groupBy(facet_col)
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .where(F.col("n_docs") > 0)
+            .orderBy(F.desc("n_docs"), F.asc(facet_col)))

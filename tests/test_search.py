@@ -883,3 +883,28 @@ def test_warm_near_regex_and_batched_modes_parity(spark, pos_index):
         for qid, pat in pats.items():
             cold = key(search_regex(spark, pos_index, pat, 10))
             assert got.get(qid, []) == cold, qid
+
+
+def test_facet_counts_all_partitions_matches_global(spark, doc_index,
+                                                    tmp_path):
+    """r5: cross-partition facets on an arbitrary column equal the
+    no-join grouped facets over an unpartitioned index of the same
+    corpus (membership is score-independent, so per-subindex local
+    statistics never enter)."""
+    from datastream_io_spark.operators.indexed_search import (
+        facet_counts_grouped)
+    from datastream_io_spark.operators.partitioned import (
+        build_partitioned_index, facet_counts_all_partitions)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    root = str(tmp_path / "far_root")
+    build_partitioned_index(spark, corpus, root, by="lang", n_splits=2,
+                            n_buckets=8, tokenizer="simple")
+    for q, mode, col in [("window agg", "and", "repo"),
+                         ("scan", "or", "repo"),
+                         ("zzznope", "and", "repo")]:
+        got = [(r[col], r.n_docs) for r in facet_counts_all_partitions(
+            spark, root, q, col, mode).collect()]
+        exp = [(r[col], r.n_docs) for r in facet_counts_grouped(
+            spark, doc_index, q, col, mode).collect()]
+        assert got == exp, (q, mode, col)
