@@ -141,6 +141,18 @@ POSTINGS_SCHEMA = T.StructType([
     T.StructField("term_bucket", T.IntegerType()),
 ])
 
+# dict/ layout (term_bucket is the partition directory). An explicit
+# schema skips per-call footer inference — same fixed cost the
+# postings scan sheds via POSTINGS_SCHEMA (r5 profile: each naked
+# spark.read.parquet re-lists + re-infers)
+DICT_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("df", T.LongType()),
+    T.StructField("cf", T.LongType()),
+    T.StructField("idf", T.DoubleType()),
+    T.StructField("term_bucket", T.IntegerType()),
+])
+
 
 class maintenance_lock:
     """Single-writer guard for index maintenance (delete / purge /

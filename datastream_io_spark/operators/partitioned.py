@@ -88,10 +88,25 @@ def read_partitioned(root: str) -> dict:
         return json.load(f)
 
 
-# facet_counts_partitioned toggles the SESSION-global AQE flag around
-# its one collect(); without mutual exclusion two concurrent callers
-# can interleave save/restore and leave AQE off for the whole session.
+# facet_counts_partitioned / search_all_partitions toggle the
+# SESSION-global AQE flag around their collects; without mutual
+# exclusion two concurrent callers can interleave save/restore and
+# leave AQE off for the whole session.
 _AQE_TOGGLE_LOCK = threading.Lock()
+
+
+def _collect_no_aqe(spark: SparkSession, df: DataFrame) -> list:
+    """Collect with AQE disabled for THIS query: AQE materializes each
+    union branch's shuffle map stage as its own job id, which turns a
+    V-branch union into O(V) jobs and defeats the one-job contracts
+    (and their assertions) of the cross-partition paths."""
+    with _AQE_TOGGLE_LOCK:
+        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.collect()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def facet_counts_partitioned(
@@ -199,13 +214,7 @@ def facet_counts_partitioned(
     # ids for one logical query), which defeats the job-count contract
     # and its assertion. Without AQE the whole root answers in ONE job;
     # the collected result is ≤ V tiny rows, driver-safe by definition.
-    with _AQE_TOGGLE_LOCK:
-        aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            rows = cand.collect()
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    rows = _collect_no_aqe(spark, cand)
     rows.sort(key=lambda r: (-r["n_docs"], r["_fv"]))
     out = spark.createDataFrame(
         [(r["_fv"], r["n_docs"]) for r in rows],
@@ -267,15 +276,18 @@ def search_all_partitions(
     stay valid because block max_tf/min_dl are data properties and the
     idf/avgdl they are scaled by are the ones passed in.
 
-    Plan shape (job-count, not just row-count, is the contract):
-    ONE planning job (union of every subindex's bucket-pruned dict
-    scan, tagged by value, ≤|q| rows per subindex collected) and ONE
-    ranking job (union of per-subindex candidate kernels → a single
-    global TakeOrdered; the ≤k display join rides the same job as a
-    broadcast). A subindex missing some AND/phrase term contributes
-    nothing and is pruned at plan time — its postings are never
-    scanned. Subindexes whose tombstones exceed the broadcast cap get
-    their per-split join delivery as usual (the tomb column is
+    Plan shape (job-count, not just row-count, is the contract —
+    assertion-tested): ONE planning job (union of every subindex's
+    bucket-pruned, DICT_SCHEMA-resolved dict scan, tagged by value,
+    ≤|q| rows per subindex collected), ONE ranking job (union of
+    per-subindex candidate kernels → a single global TakeOrdered),
+    plus ONE ≤k-row display job under ``with_doc_cols`` (per-branch
+    doc_id pushdown, only hit subindexes read). The union collects run
+    with AQE off (:func:`_collect_no_aqe` — AQE gives each union
+    branch its own job id). A subindex missing some AND/phrase term
+    contributes nothing and is pruned at plan time — its postings are
+    never scanned. Subindexes whose tombstones exceed the broadcast
+    cap get their per-split join delivery as usual (the tomb column is
     attached per subindex before the union).
 
     Output: ``(<by>, doc_id, score)`` ordered (score desc, <by> asc,
@@ -328,13 +340,19 @@ def search_all_partitions(
     avgdl_g = sum_dl_g / n_docs_g
 
     # ONE planning job: every subindex's dict rows for the query terms,
-    # bucket-pruned per subindex (n_buckets may differ), value-tagged
+    # bucket-pruned per subindex (n_buckets may differ), value-tagged.
+    # Explicit DICT_SCHEMA (no per-sub footer inference) + AQE off for
+    # the collect (AQE turns each union branch's map stage into its own
+    # job id — the facet path's job-count lesson, r5)
+    from datastream_io_spark.operators.build import DICT_SCHEMA
+
     dict_scans = []
     for v in values:
         sub = _subdir(root, by, v)
         buckets = sorted({term_bucket(t, int(stats_of[v]["n_buckets"]))
                           for t in terms})
-        d = spark.read.parquet(os.path.join(sub, "dict"))
+        d = spark.read.schema(DICT_SCHEMA).parquet(
+            os.path.join(sub, "dict"))
         dict_scans.append(
             d.where(F.col("term_bucket").isin(buckets)
                     & F.col("term").isin(terms))
@@ -342,7 +360,7 @@ def search_all_partitions(
     dunion = dict_scans[0]
     for d in dict_scans[1:]:
         dunion = dunion.unionByName(d)
-    drows = dunion.collect()
+    drows = _collect_no_aqe(spark, dunion)
 
     import math
 
@@ -377,19 +395,41 @@ def search_all_partitions(
     union = cands[0]
     for c in cands[1:]:
         union = union.unionByName(c)
-    topk = union.orderBy(F.desc("score"), F.asc(by),
-                         F.asc("doc_id")).limit(k)
-    if with_doc_cols:
-        docs = None
-        for v in values:
-            d = (spark.read.parquet(
-                    os.path.join(_subdir(root, by, v), "docs"))
-                 .select(F.lit(v).alias(by), "doc_id", *doc_cols))
-            docs = d if docs is None else docs.unionByName(d)
-        topk = (docs.join(F.broadcast(topk), [by, "doc_id"])
-                .select(by, "doc_id", *doc_cols, "score")
-                .orderBy(F.desc("score"), F.asc(by), F.asc("doc_id")))
-    return topk
+    rank_rows = _collect_no_aqe(
+        spark, union.orderBy(F.desc("score"), F.asc(by),
+                             F.asc("doc_id")).limit(k))
+    if not rank_rows:
+        return empty
+    if not with_doc_cols:
+        return spark.createDataFrame(
+            [(r[by], r["doc_id"], r["score"]) for r in rank_rows],
+            schema)
+    # display job: only the ≤k hit docs, only the subindexes they live
+    # in (doc_id pushdown per branch); assembled driver-side so the
+    # returned frame is a ≤k-row local relation
+    hit_of: dict[str, list[int]] = {}
+    for r in rank_rows:
+        hit_of.setdefault(r[by], []).append(r["doc_id"])
+    # explicit subset schema: Spark prunes file columns to it without a
+    # footer-inference job per subindex (extra file columns — dl,
+    # content, ... — are simply never read)
+    display_schema = ("doc_id long, repo string, path string, "
+                      "commit string, lang string")
+    docs = None
+    for v in sorted(hit_of):
+        d = (spark.read.schema(display_schema).parquet(
+                os.path.join(_subdir(root, by, v), "docs"))
+             .where(F.col("doc_id").isin(hit_of[v]))
+             .select(F.lit(v).alias(by), "doc_id", *doc_cols))
+        docs = d if docs is None else docs.unionByName(d)
+    meta = {(r[by], r["doc_id"]): r for r in _collect_no_aqe(spark, docs)}
+    data = [
+        tuple([r[by], r["doc_id"]]
+              + [meta[(r[by], r["doc_id"])][c] for c in doc_cols]
+              + [r["score"]])
+        for r in rank_rows
+    ]
+    return spark.createDataFrame(data, schema)
 
 
 def facet_counts_all_partitions(

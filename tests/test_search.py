@@ -553,6 +553,20 @@ def test_search_all_partitions_matches_unpartitioned(
     assert search_all_partitions(spark, root, "window agg", 3).columns \
         == ["lang", "doc_id", "score"]
 
+    # job-count contract: plan + rank + display = 3 jobs at ANY number
+    # of partition values (AQE off for the union collects; explicit
+    # dict/docs schemas — no per-subindex inference jobs)
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    sc.setJobGroup("gap_jobs", "job-count assertion")
+    search_all_partitions(spark, root, "window agg", 5, "and",
+                          with_doc_cols=True)
+    import time as _time
+    _time.sleep(0.5)
+    n_jobs = len(st.getJobIdsForGroup("gap_jobs"))
+    sc.setJobGroup(None, None)
+    assert n_jobs <= 3, n_jobs
+
     # deletes inside one subindex are honored by the global merge
     sub = os.path.join(root, "lang=de")
     delete_docs(spark, sub, where="pmod(doc_id, 2) = 0", max_frac=None)
