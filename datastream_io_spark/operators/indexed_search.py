@@ -640,6 +640,26 @@ def _near_filter(cand: np.ndarray, spec: NearSpec, blocks_of: dict,
         docs, poss = _positions_of(cand, blocks_of[t], decoded, t,
                                    pos_cache)
         per_term.append((docs, poss))
+    if len(spec.terms) == 2:
+        # fully vectorized two-term case (the dominant query shape):
+        # combined keys (doc << POS_BITS) | pos are globally sorted, so
+        # "∃ t2-occurrence within the window of this t1-occurrence"
+        # is one pair of searchsorteds over all occurrences of all
+        # candidate docs at once. Window keys are clamped to the doc's
+        # own position field so a window can never leak into a
+        # neighboring doc's key range.
+        (d1, p1), (d2, p2) = per_term
+        maxp = (np.int64(1) << _POS_BITS) - 1
+        base = d1 << _POS_BITS
+        k2 = (d2 << _POS_BITS) | p2
+        if spec.ordered:
+            lowk = base + np.minimum(p1 + 1, maxp)
+        else:
+            lowk = base + np.maximum(p1 - bound, 0)
+        highk = base + np.minimum(p1 + bound, maxp)
+        ok = (np.searchsorted(k2, lowk, side="left")
+              < np.searchsorted(k2, highk, side="right"))
+        return np.unique(d1[ok])
     out = []
     for d in cand:
         plists = []

@@ -277,3 +277,61 @@ def test_snippets_near_mode(spark, pos_index, pos_pdf):
         best = max(hits, key=lambda p: (
             sum(1 for x in hits if p <= x < p + width), -p))
         assert r.snippet == " ".join(toks[best:best + width]), r.doc_id
+
+
+def test_near_two_term_fast_path_matches_general_kernels():
+    """Randomized pin: the vectorized 2-term searchsorted window test
+    must agree with the general per-doc chain/two-pointer algorithms on
+    adversarial position layouts (boundary positions, dense repeats,
+    adjacent-doc collisions in the combined key space)."""
+    import numpy as np
+
+    from datastream_io_spark.operators.codec import encode_blocks
+    from datastream_io_spark.operators.indexed_search import (
+        NearSpec, _near_filter, _ordered_chain, _unordered_window)
+
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n_docs = 40
+        pos_a, pos_b = {}, {}
+        for d in range(n_docs):
+            # cluster positions low AND high to stress the clamped
+            # window edges (p±bound near 0 and near the field max)
+            na, nb = rng.integers(0, 6, size=2)
+            pool = np.concatenate([
+                rng.integers(0, 12, size=30),
+                rng.integers(0, 200, size=30)])
+            pa = np.unique(rng.choice(pool, size=na)) if na else \
+                np.array([], np.int64)
+            pb = np.unique(rng.choice(pool, size=nb)) if nb else \
+                np.array([], np.int64)
+            # a position holds ONE token: drop collisions from b
+            pb = np.setdiff1d(pb, pa)
+            if len(pa):
+                pos_a[d] = pa.astype(np.int64)
+            if len(pb):
+                pos_b[d] = pb.astype(np.int64)
+
+        def blocks_for(pos_of):
+            ids = np.array(sorted(pos_of), np.int64)
+            tfs = np.array([len(pos_of[d]) for d in ids], np.int64)
+            dls = np.full(ids.size, 50, np.int64)
+            poss = (np.concatenate([pos_of[d] for d in ids])
+                    if len(ids) else np.array([], np.int64))
+            return encode_blocks(ids, tfs, dls, positions=poss)
+
+        blocks_of = {"a": blocks_for(pos_a), "b": blocks_for(pos_b)}
+        both = np.array(sorted(set(pos_a) & set(pos_b)), np.int64)
+        if not len(both):
+            continue
+        for slop in (0, 1, 4):
+            for ordered in (False, True):
+                spec = NearSpec(["a", "b"], slop, ordered)
+                got = _near_filter(both, spec, blocks_of, {})
+                bound = 1 + slop
+                exp = [d for d in both
+                       if (_ordered_chain([pos_a[d], pos_b[d]], bound)
+                           if ordered else
+                           _unordered_window([pos_a[d], pos_b[d]],
+                                             bound))]
+                assert list(got) == exp, (trial, slop, ordered)
