@@ -754,16 +754,25 @@ SELECT 'global' AS leg, doc_id, score FROM leg_g
 
 def q_boolean_search(spark, sf_dir):
     """Q11 — boolean query language: candidate set from the boolean
-    tree, BM25 ranking over the positive terms."""
+    tree, BM25 ranking over the positive terms each candidate
+    contains. Leg 'bool' = operators/parens/NOT; leg 'wildexp' (r5) =
+    a wildcard leaf (``agg AND s*``) expanded at plan time to the OR
+    of the dict terms under the prefix — the oracle rebuilds the same
+    candidate set and positive-term scoring with LIKE."""
     from datastream_io_spark.operators.boolean_search import search_boolean
 
-    topk = search_boolean(spark, _pos_index(spark, sf_dir),
-                          "window AND (agg OR scan) NOT merge", 10,
-                          with_doc_cols=True)
-    return topk.select(
-        F.substring("path", 5, 32).cast("long").alias("doc_id"),
-        F.round("score", 6).alias("score"),
-    )
+    idx = _pos_index(spark, sf_dir)
+    def leg(df, name):
+        return df.select(
+            F.lit(name).alias("leg"),
+            F.substring("path", 5, 32).cast("long").alias("doc_id"),
+            F.round("score", 6).alias("score"))
+    return (
+        leg(search_boolean(spark, idx,
+                           "window AND (agg OR scan) NOT merge", 10,
+                           with_doc_cols=True), "bool")
+        .unionByName(leg(search_boolean(spark, idx, "agg AND s*", 10,
+                                        with_doc_cols=True), "wildexp")))
 
 
 o_boolean_search = (
@@ -774,13 +783,28 @@ sets AS (
          bool_or(term = 'window') AS h_w,
          bool_or(term = 'agg') AS h_a,
          bool_or(term = 'scan') AS h_s,
-         bool_or(term = 'merge') AS h_m
+         bool_or(term = 'merge') AS h_m,
+         bool_or(term LIKE 's%') AS h_pre
   FROM tf GROUP BY doc_id
 ),
-cand AS (SELECT doc_id FROM sets WHERE h_w AND (h_a OR h_s) AND NOT h_m)
-SELECT sc.doc_id, round(sum(s), 6) AS score
-FROM sc JOIN cand USING (doc_id)
-GROUP BY sc.doc_id ORDER BY sum(s) DESC, sc.doc_id LIMIT 10
+cand AS (SELECT doc_id FROM sets WHERE h_w AND (h_a OR h_s) AND NOT h_m),
+cand_w AS (SELECT doc_id FROM sets WHERE h_a AND h_pre),
+sc_w AS (SELECT tf.doc_id,
+              ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st
+       WHERE tf.term = 'agg' OR tf.term LIKE 's%'),
+leg_b AS (SELECT sc.doc_id, round(sum(s), 6) AS score
+          FROM sc JOIN cand USING (doc_id)
+          GROUP BY sc.doc_id ORDER BY sum(s) DESC, sc.doc_id LIMIT 10),
+leg_w AS (SELECT sc_w.doc_id, round(sum(s), 6) AS score
+          FROM sc_w JOIN cand_w USING (doc_id)
+          GROUP BY sc_w.doc_id
+          ORDER BY sum(s) DESC, sc_w.doc_id LIMIT 10)
+SELECT 'bool' AS leg, doc_id, score FROM leg_b
+UNION ALL
+SELECT 'wildexp' AS leg, doc_id, score FROM leg_w
 """
 )
 

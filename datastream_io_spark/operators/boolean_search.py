@@ -5,12 +5,21 @@ Lucene-flavored surface on top of the Q1–Q10 primitives:
     window AND (agg OR scan) NOT merge
     "window agg" OR scan            # quoted phrase needs positions
     parse config                    # bare adjacency = implicit AND
+    agg AND par* NOT warn~1         # r5: wildcard / fuzzy leaves
 
 Grammar (recursive descent):
     expr    := and_expr (OR and_expr)*
     and_expr:= unary+                # adjacency is implicit AND
     unary   := NOT unary | primary
-    primary := '(' expr ')' | '"' ... '"' | word
+    primary := '(' expr ')' | '"' ... '"' | word | word'*' | word'~'N?
+
+Wildcard (``par*``) and fuzzy (``term~``, ``term~2``) leaves expand at
+PLAN time to the OR of their dictionary expansions (sidecar-aware,
+same ``max_expansions`` cap and (df desc, term asc) order as the
+standalone Q18/Q20 surfaces) — the kernel only ever sees plain
+term/phrase/and/or trees. Expanded terms in positive positions score
+like any positive term; in negated positions the whole expansion is
+excluded.
 
 UPPERCASE ``AND`` / ``OR`` / ``NOT`` are operators; lowercase and/or/not
 are ordinary corpus terms (the tokenizer lowercases content, so the
@@ -64,6 +73,13 @@ from datastream_io_spark.operators.indexed_search import (
 #   ("phrase", (str, ...))
 #   ("and", (positive_children...), (negated_children...))
 #   ("or", (children...))
+#   ("wild", prefix) / ("fuzzy", term, dist) — plan-time only; an
+#   expander rewrites them to ("or", of ("term", ...)) before the
+#   kernel ever sees the tree (expand_tree)
+
+import re as _re
+
+_FUZZ_RE = _re.compile(r"(.+?)~(\d*)")
 
 
 def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
@@ -93,6 +109,23 @@ def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
             w = query[i:j]
             if w in ("AND", "OR", "NOT"):
                 toks.append(w)
+            elif w.endswith("*") and len(w) > 1:
+                # wildcard leaf (r5): `par*` expands at plan time to the
+                # OR of the index terms under the prefix
+                ts = tuple(pure(w[:-1]))
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"wildcard prefix must be one term: {w!r}")
+                toks.append(("WILD", ts[0]))
+            elif "~" in w and _FUZZ_RE.fullmatch(w):
+                # fuzzy leaf (r5): `term~` / `term~2` expands to the
+                # index terms within the edit budget
+                m = _FUZZ_RE.fullmatch(w)
+                ts = tuple(pure(m.group(1)))
+                if len(ts) != 1:
+                    raise ValueError(
+                        f"fuzzy base must be one term: {w!r}")
+                toks.append(("FUZZ", ts[0], int(m.group(2) or 1)))
             else:
                 # a WORD stays ONE token even when the tokenizer expands
                 # it (camelCase → sub-tokens): it parses to a conjunction
@@ -158,6 +191,10 @@ def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
             if len(t[1]) == 1:
                 return ("term", t[1][0])
             return ("and", tuple(("term", s) for s in t[1]), ())
+        if isinstance(t, tuple) and t[0] == "WILD":
+            return ("wild", t[1])
+        if isinstance(t, tuple) and t[0] == "FUZZ":
+            return ("fuzzy", t[1], t[2])
         raise ValueError(f"unexpected token {t!r}")
 
     if not toks:
@@ -166,6 +203,45 @@ def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
     if pos[0] != len(toks):
         raise ValueError(f"trailing tokens at {toks[pos[0]:]!r}")
     return node
+
+
+def tree_has_expansion(node: tuple) -> bool:
+    kind = node[0]
+    if kind in ("wild", "fuzzy"):
+        return True
+    if kind == "or":
+        return any(tree_has_expansion(c) for c in node[1])
+    if kind == "and":
+        return any(tree_has_expansion(c) for c in node[1] + node[2])
+    return False
+
+
+def expand_tree(node: tuple, expander) -> tuple:
+    """Rewrite wildcard/fuzzy leaves to the OR of their index-term
+    expansions via ``expander(mode, base, dist) -> [terms]`` (cold dict
+    scan, sidecar range scan, or the warm driver cache — same cap and
+    (df desc, term asc) order as the standalone Q18/Q20 surfaces). An
+    empty expansion becomes ``("term", "")`` — the empty string can
+    never be an index term, so the leaf evaluates to the empty set
+    (matches-nothing), exactly like an absent plain term."""
+    kind = node[0]
+    if kind == "wild":
+        terms = expander("wildcard", node[1], 0)
+    elif kind == "fuzzy":
+        terms = expander("fuzzy", node[1], node[2])
+    elif kind == "or":
+        return ("or", tuple(expand_tree(c, expander) for c in node[1]))
+    elif kind == "and":
+        return ("and",
+                tuple(expand_tree(c, expander) for c in node[1]),
+                tuple(expand_tree(c, expander) for c in node[2]))
+    else:
+        return node
+    if not terms:
+        return ("term", "")
+    if len(terms) == 1:
+        return ("term", terms[0])
+    return ("or", tuple(("term", t) for t in terms))
 
 
 def tree_terms(node: tuple, positive: bool = True) -> tuple[set, set]:
@@ -301,15 +377,41 @@ def score_tree_split(tree: tuple, idf: dict[str, float], avgdl: float,
                          "score": scores[sel].astype("float64")})
 
 
-def plan_boolean(query: str, stats: dict) -> tuple[tuple, set, set]:
-    """Parse + positions guard; returns (tree, positives, all_terms)."""
+def plan_boolean(query: str, stats: dict,
+                 expander=None) -> tuple[tuple, set, set]:
+    """Parse + positions guard + leaf expansion; returns
+    (tree, positives, all_terms). ``expander`` resolves wildcard/fuzzy
+    leaves (:func:`expand_tree`); queries without such leaves never
+    need one."""
     tree = parse_boolean(query, stats["tokenizer"])
     if tree_has_phrase(tree) and not stats.get("positions", False):
         raise ValueError(
             "quoted phrases need a positional index — rebuild with "
             "build_index(..., positions=True)")
+    if tree_has_expansion(tree):
+        if expander is None:
+            raise ValueError(
+                "wildcard/fuzzy leaves need an expander — call through "
+                "search_boolean / search_many / Searcher.search_many")
+        tree = expand_tree(tree, expander)
     positives, all_terms = tree_terms(tree)
     return tree, positives, all_terms
+
+
+def cold_expander(spark: SparkSession, index_dir: str,
+                  max_expansions: int = 128):
+    """The dict-backed leaf expander (sidecar-aware, same caps as the
+    standalone wildcard/fuzzy surfaces)."""
+    from datastream_io_spark.operators.indexed_search import (
+        _expansion_rows_cold,
+    )
+
+    def expand(mode, base, dist):
+        rows = _expansion_rows_cold(spark, index_dir, base, mode, dist,
+                                    max_expansions)
+        return [r["term"] for r in rows]
+
+    return expand
 
 
 def search_boolean(spark: SparkSession, index_dir: str, query: str,
@@ -317,7 +419,8 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
     """Q11 — boolean-filtered BM25 top-k over the built index."""
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
-    tree, positives, all_terms = plan_boolean(query, stats)
+    tree, positives, all_terms = plan_boolean(
+        query, stats, expander=cold_expander(spark, index_dir))
     n_buckets = int(stats["n_buckets"])
     avgdl = float(stats["avgdl"])
     buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})

@@ -318,9 +318,14 @@ class Searcher:
                 plan_boolean,
             )
 
+            def warm_exp(emode, base, dist):
+                return [r["term"] for r in self._warm_expansion(
+                    base, emode, dist, max_expansions)]
+
             trees, pos_all, all_terms = {}, set(), set()
             for qid, q in queries.items():
-                tree, pos, terms = plan_boolean(q, self.stats)
+                tree, pos, terms = plan_boolean(q, self.stats,
+                                                expander=warm_exp)
                 trees[qid] = (tree, pos)
                 pos_all |= pos
                 all_terms |= terms
@@ -1068,12 +1073,14 @@ def search_many(spark: SparkSession, index_dir: str,
 
     if mode == "boolean":
         from datastream_io_spark.operators.boolean_search import (
+            cold_expander,
             plan_boolean,
         )
 
+        exp = cold_expander(spark, index_dir, max_expansions)
         trees, pos_all, all_terms = {}, set(), set()
         for qid, q in queries.items():
-            tree, pos, terms = plan_boolean(q, stats)
+            tree, pos, terms = plan_boolean(q, stats, expander=exp)
             trees[qid] = (tree, pos)
             pos_all |= pos
             all_terms |= terms

@@ -247,3 +247,49 @@ def test_boolean_and_skips_block_decode(monkeypatch):
     out = BX._eval_node(("and", (("term", "rare"), ("term", "absent")),
                          ()), blocks_of, {})
     assert out.size == 0 and len(calls) == 0
+
+
+def test_boolean_wildcard_fuzzy_leaves(spark, pos_index):
+    """r5: `par*` / `term~N` leaves expand at plan time to the OR of
+    their dict expansions — equivalent to writing the OR by hand, in
+    positive and negated positions, cold and warm, single and batched."""
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher, search_many)
+
+    def topk(q):
+        return [(r.doc_id, round(r.score, 9)) for r in
+                search_boolean(spark, pos_index, q, 10).collect()]
+
+    vocab = sorted(r.term for r in spark.read.parquet(
+        f"{pos_index}/dict").select("term").collect())
+    s_terms = [t for t in vocab if t.startswith("s")]
+    assert len(s_terms) > 1
+    s_or = "(" + " OR ".join(s_terms) + ")"
+
+    assert topk("agg AND s*") == topk(f"agg AND {s_or}") != []
+    assert topk("agg NOT s*") == topk(f"agg NOT {s_or}")
+    # fuzzy leaf: windoq~1 expands to exactly {window} on this vocab
+    import re
+    assert topk("agg AND windoq~1") == topk("agg AND window") != []
+    # empty expansion = matches nothing, like an absent term
+    assert topk("agg AND zzq*") == []
+    assert topk("agg NOT zzq*") == topk("agg")
+    # batched + warm parity
+    qs = {"b1": "agg AND s*", "b2": '"window agg" OR windoq~1',
+          "b3": "agg NOT s*"}
+    warm = Searcher(spark, pos_index, dict_cache="driver")
+    for df in (search_many(spark, pos_index, qs, 10, "boolean"),
+               warm.search_many(qs, 10, "boolean")):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, []).append(
+                (r.doc_id, round(r.score, 9)))
+        for qid, q in qs.items():
+            assert got.get(qid, []) == topk(q), qid
+    # plan_boolean without an expander refuses expansion leaves loudly
+    import pytest as _pytest
+
+    from datastream_io_spark.operators.boolean_search import plan_boolean
+    from datastream_io_spark.operators.build import read_stats
+    with _pytest.raises(ValueError, match="expander"):
+        plan_boolean("agg AND s*", read_stats(pos_index))
