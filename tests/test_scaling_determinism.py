@@ -24,6 +24,9 @@ def _fingerprint(spark, index_dir):
 
 
 def _results(spark, idx):
+    from datastream_io_spark.operators.indexed_search import (
+        search_near, search_regex)
+
     out = []
     for q, mode in CODE_QUERIES[:4]:
         rows = search_indexed(spark, idx, q, K, mode).collect()
@@ -31,6 +34,14 @@ def _results(spark, idx):
     for q in ["parse config", "import os"]:  # positional determinism too
         rows = search_indexed(spark, idx, q, K, "phrase").collect()
         out.append([(r.doc_id, r.score) for r in rows])
+    # r5 surfaces: proximity windows and regex expansion must be as
+    # parallelism-invariant as the core modes
+    for slop, ordered in [(1, True), (3, False)]:
+        rows = search_near(spark, idx, "parse config", K, slop,
+                           ordered).collect()
+        out.append([(r.doc_id, r.score) for r in rows])
+    rows = search_regex(spark, idx, "pars.*", K).collect()
+    out.append([(r.doc_id, r.score) for r in rows])
     return out
 
 
