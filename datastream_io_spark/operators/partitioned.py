@@ -254,6 +254,8 @@ def search_all_partitions(
     k: int = 10,
     mode: str = "and",
     with_doc_cols: bool = False,
+    slop: int = 2,
+    ordered: bool = False,
 ) -> DataFrame:
     """Global top-k over EVERY subindex of a partitioned root, scored
     with GLOBALLY-merged corpus statistics — the cross-tenant query a
@@ -298,14 +300,18 @@ def search_all_partitions(
     from datastream_io_spark.functions.xxhash import term_bucket
     from datastream_io_spark.operators.build import read_stats
     from datastream_io_spark.operators.indexed_search import (
+        NearSpec,
         _check_format,
         _plan_terms,
         _wand_topk,
     )
+    from datastream_io_spark.operators.relational_search import parse_phrase
 
-    if mode not in ("and", "or", "phrase"):
+    if mode not in ("and", "or", "phrase", "near"):
         raise ValueError(
-            f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
+            f"mode must be 'and', 'or', 'phrase' or 'near', got {mode!r}")
+    if mode == "near" and slop < 0:
+        raise ValueError(f"slop must be \u2265 0, got {slop}")
     manifest = read_partitioned(root)
     by = manifest["by"]
     values = sorted(manifest["values"])
@@ -324,7 +330,23 @@ def search_all_partitions(
         sub = _subdir(root, by, v)
         stats = read_stats(sub)
         _check_format(stats, sub)
-        vmode, terms, phrase = _plan_terms(query, mode, stats)
+        if mode == "near":
+            # proximity across the root: same membership predicate per
+            # subindex (mode='phrase' plumbing + NearSpec), scored with
+            # the global statistics like every other mode here
+            if not stats.get("positions", False):
+                raise ValueError(
+                    "near search needs positional subindexes - rebuild "
+                    f"with positions=True ({by}={v} lacks positions)")
+            dterms = list(dict.fromkeys(parse_phrase(
+                query, stats["tokenizer"])))
+            if len(dterms) <= 1:
+                vmode, terms, phrase = "and", dterms, None
+            else:
+                vmode, terms, phrase = ("phrase", sorted(dterms),
+                                        NearSpec(dterms, slop, ordered))
+        else:
+            vmode, terms, phrase = _plan_terms(query, mode, stats)
         if plan is None:
             plan = (vmode, terms, phrase, stats["tokenizer"])
         elif stats["tokenizer"] != plan[3]:

@@ -545,6 +545,16 @@ def test_search_all_partitions_matches_unpartitioned(
                            with_doc_cols=True).collect()
         assert key(g) == key(m), (q, mode)
 
+    # r5: proximity across the root == proximity on the mono index
+    from datastream_io_spark.operators.indexed_search import search_near
+    for slop, ordered in [(1, True), (2, False)]:
+        g = search_all_partitions(spark, root, "window agg", 10, "near",
+                                  with_doc_cols=True, slop=slop,
+                                  ordered=ordered).collect()
+        m = search_near(spark, pos_index, "window agg", 10, slop,
+                        ordered, with_doc_cols=True).collect()
+        assert key(g) == key(m) and g, (slop, ordered)
+
     # column contract: by-column leads, lang not duplicated in doc cols
     got = search_all_partitions(spark, root, "window agg", 3, "and",
                                 with_doc_cols=True)
