@@ -247,6 +247,64 @@ class Searcher:
         rows = self._warm_expansion(pat, "regex", 0, max_expansions)
         return self._or_over(rows, k, with_doc_cols)
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_terms: int = 20,
+                       corpus: DataFrame | None = None,
+                       with_doc_cols: bool = False) -> DataFrame:
+        """:func:`more_like_this` on the warm path: the source doc's
+        row comes off the resolved docs scan and idf off the cached
+        dict (no per-call dict job), then the standard warm OR plan at
+        k+1 with the source excluded. Identical results to the cold
+        function (parity-tested)."""
+        from collections import Counter
+
+        from datastream_io_spark.functions.tokenize import tokenizer_for
+
+        rows = self._docs_df.where(
+            F.col("doc_id") == int(doc_id)).collect()
+        if not rows:
+            raise ValueError(
+                f"doc_id {doc_id} not in index {self.index_dir}")
+        row = rows[0]
+        if "content" in self._docs_df.columns and \
+                row["content"] is not None:
+            text = row["content"]
+        elif corpus is not None:
+            crows = corpus.where(
+                (F.col("repo") == row["repo"])
+                & (F.col("path") == row["path"])
+                & (F.col("commit") == row["commit"])).limit(1).collect()
+            if not crows:
+                raise ValueError(
+                    f"doc_id {doc_id} ({row['repo']}/{row['path']}) "
+                    "not found in the supplied corpus")
+            text = crows[0]["content"]
+        else:
+            raise ValueError(
+                f"index at {self.index_dir} stores no content (built "
+                "without store_content=True) — pass the source corpus "
+                "DataFrame")
+        pure, _ = tokenizer_for(self.stats["tokenizer"])
+        tf = Counter(pure(text))
+        if not tf:
+            return _empty_topk(self.spark, with_doc_cols)
+        lrows = self._lookup(sorted(tf))
+        weighted = sorted(
+            (-tf[r["term"]] * float(r["idf"]), r["term"]) for r in lrows)
+        sel = {t for _, t in weighted[:max_terms]}
+        rows_sel = [r for r in lrows if r["term"] in sel]
+        if not rows_sel:
+            return _empty_topk(self.spark, with_doc_cols)
+        idf = {r["term"]: float(r["idf"]) for r in rows_sel}
+        buckets = sorted({int(r["term_bucket"]) for r in rows_sel})
+        top = _wand_topk(self.spark, self.index_dir, idf, buckets,
+                         float(self.stats["avgdl"]), len(idf), k + 1,
+                         "or", with_doc_cols,
+                         postings_df=self._postings_df,
+                         docs_df=self._docs_df)
+        return (top.where(F.col("doc_id") != int(doc_id))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
     def _warm_expansion(self, q: str, mode: str, max_dist: int,
                         max_expansions: int) -> list[dict]:
         """Wildcard/fuzzy/regex expansion against the driver-cached

@@ -932,3 +932,25 @@ def test_facet_counts_all_partitions_matches_global(spark, doc_index,
         exp = [(r[col], r.n_docs) for r in facet_counts_grouped(
             spark, doc_index, q, col, mode).collect()]
         assert got == exp, (q, mode, col)
+
+
+def test_warm_more_like_this_matches_cold(spark, pos_index):
+    """r5: Searcher.more_like_this (cached dict + resolved docs scan)
+    equals the cold module function, source exclusion included."""
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher, more_like_this)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    s = Searcher(spark, pos_index, dict_cache="driver")
+    docs = [r.doc_id for r in spark.read.parquet(
+        f"{pos_index}/docs").select("doc_id").orderBy("doc_id")
+        .limit(3).collect()]
+    for src in docs:
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             s.more_like_this(src, 10, 20, corpus=corpus).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             more_like_this(spark, pos_index, src, 10, 20,
+                            corpus=corpus).collect()]
+        assert a == b and a, src
+    with pytest.raises(ValueError, match="not in index"):
+        s.more_like_this(10**9, corpus=corpus)
