@@ -6,12 +6,14 @@ Lucene-flavored surface on top of the Q1–Q10 primitives:
     "window agg" OR scan            # quoted phrase needs positions
     parse config                    # bare adjacency = implicit AND
     agg AND par* NOT warn~1         # r5: wildcard / fuzzy leaves
+    "window agg"~2 AND scan         # r5: proximity phrase (any order)
 
 Grammar (recursive descent):
     expr    := and_expr (OR and_expr)*
     and_expr:= unary+                # adjacency is implicit AND
     unary   := NOT unary | primary
-    primary := '(' expr ')' | '"' ... '"' | word | word'*' | word'~'N?
+    primary := '(' expr ')' | '"' ... '"' '~'N? | word | word'*'
+               | word'~'N?
 
 Wildcard (``par*``) and fuzzy (``term~``, ``term~2``) leaves expand at
 PLAN time to the OR of their dictionary expansions (sidecar-aware,
@@ -55,7 +57,9 @@ from datastream_io_spark.functions.xxhash import term_bucket
 from datastream_io_spark.operators.build import read_stats
 from datastream_io_spark.operators.codec import decode_block_docs
 from datastream_io_spark.operators.indexed_search import (
+    NearSpec,
     _and_candidates,
+    _near_filter,
     _check_format,
     _drop_dead,
     _exact_scores,
@@ -99,9 +103,15 @@ def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
             j = query.find('"', i + 1)
             j = n if j < 0 else j
             phrase = tuple(pure(query[i + 1:j]))
-            if phrase:
-                toks.append(("PHRASE", phrase))
             i = j + 1
+            slop = None
+            if i < n and query[i] == "~":
+                m = _re.match(r"~(\d+)", query[i:])
+                if m:  # "a b"~N — proximity phrase (r5)
+                    slop = int(m.group(1))
+                    i += m.end()
+            if phrase:
+                toks.append(("PHRASE", phrase, slop))
         else:
             j = i
             while j < n and not query[j].isspace() and query[j] not in '()"':
@@ -186,7 +196,16 @@ def parse_boolean(query: str, tokenizer: str = "simple") -> tuple:
                 raise ValueError("unbalanced parentheses")
             return node
         if isinstance(t, tuple) and t[0] == "PHRASE":
-            return ("phrase", t[1]) if len(t[1]) > 1 else ("term", t[1][0])
+            seq, slop = t[1], t[2]
+            if slop is not None:
+                # "a b"~N: the distinct terms within an (T-1)+N window,
+                # any order (documented divergence from Lucene's
+                # edit-distance slop; transposition costs nothing here)
+                dts = tuple(dict.fromkeys(seq))
+                if len(dts) == 1:
+                    return ("term", dts[0])
+                return ("near", dts, slop)
+            return ("phrase", seq) if len(seq) > 1 else ("term", seq[0])
         if isinstance(t, tuple) and t[0] == "WORD":
             if len(t[1]) == 1:
                 return ("term", t[1][0])
@@ -255,7 +274,7 @@ def tree_terms(node: tuple, positive: bool = True) -> tuple[set, set]:
             all_set.add(nd[1])
             if is_pos:
                 pos_set.add(nd[1])
-        elif kind == "phrase":
+        elif kind in ("phrase", "near"):
             all_set.update(nd[1])
             if is_pos:
                 pos_set.update(nd[1])
@@ -274,7 +293,7 @@ def tree_terms(node: tuple, positive: bool = True) -> tuple[set, set]:
 
 def tree_has_phrase(node: tuple) -> bool:
     kind = node[0]
-    if kind == "phrase":
+    if kind in ("phrase", "near"):  # both decode positions
         return True
     if kind == "or":
         return any(tree_has_phrase(c) for c in node[1])
@@ -314,6 +333,15 @@ def _eval_node(node: tuple, blocks_of: dict, decoded: dict) -> np.ndarray:
         if cand.size == 0:
             return none
         return _phrase_filter(cand, list(node[1]), blocks_of, decoded)
+    if kind == "near":
+        rows = [(t, blocks_of.get(t)) for t in sorted(set(node[1]))]
+        if any(not b for _, b in rows):
+            return none
+        cand = _and_candidates(rows, len(rows), decoded)
+        if cand.size == 0:
+            return none
+        return _near_filter(cand, NearSpec(list(node[1]), node[2],
+                                           False), blocks_of, decoded)
     if kind == "or":
         out = none
         for c in node[1]:

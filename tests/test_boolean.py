@@ -293,3 +293,36 @@ def test_boolean_wildcard_fuzzy_leaves(spark, pos_index):
     from datastream_io_spark.operators.build import read_stats
     with _pytest.raises(ValueError, match="expander"):
         plan_boolean("agg AND s*", read_stats(pos_index))
+
+
+def test_boolean_proximity_phrase(spark, pos_index, doc_index):
+    """r5: `"a b"~N` = the distinct terms within an (T-1)+N window in
+    any order — standalone it equals search_near(ordered=False), and it
+    composes with AND/NOT like any other clause."""
+    from datastream_io_spark.operators.indexed_search import (
+        search_indexed, search_near)
+
+    def topk(q, idx=None):
+        return [(r.doc_id, round(r.score, 9)) for r in
+                search_boolean(spark, idx or pos_index, q, 10**6)
+                .collect()]
+
+    for slop in (0, 1, 3):
+        a = topk(f'"window agg"~{slop}')
+        b = [(r.doc_id, round(r.score, 9)) for r in search_near(
+            spark, pos_index, "window agg", 10**6, slop,
+            ordered=False).collect()]
+        assert a == b, slop
+    assert topk('"window agg"~1') and \
+        len(topk('"window agg"~1')) <= len(topk('"window agg"~3'))
+    # composes: near-candidates intersected with / minus other clauses
+    near_ids = {d for d, _ in topk('"window agg"~2')}
+    scan_ids = {r.doc_id for r in search_indexed(
+        spark, pos_index, "scan", 10**6, "and").collect()}
+    both = {d for d, _ in topk('"window agg"~2 AND scan')}
+    assert both == near_ids & scan_ids
+    noscan = {d for d, _ in topk('"window agg"~2 NOT scan')}
+    assert noscan == near_ids - scan_ids
+    # positions guard covers proximity phrases
+    with pytest.raises(ValueError, match="positional"):
+        search_boolean(spark, doc_index, '"window agg"~2', 5)
