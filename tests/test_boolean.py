@@ -276,7 +276,7 @@ def test_boolean_wildcard_fuzzy_leaves(spark, pos_index):
     assert topk("agg NOT zzq*") == topk("agg")
     # batched + warm parity
     qs = {"b1": "agg AND s*", "b2": '"window agg" OR windoq~1',
-          "b3": "agg NOT s*"}
+          "b3": "agg NOT s*", "b4": '"window agg"~2 NOT scan'}
     warm = Searcher(spark, pos_index, dict_cache="driver")
     for df in (search_many(spark, pos_index, qs, 10, "boolean"),
                warm.search_many(qs, 10, "boolean")):
