@@ -68,6 +68,15 @@ sc AS (SELECT tf.doc_id,
 """
 
 
+def _leg(df, name):
+    """Tag a (doc-col) top-k frame as one leg of a multi-leg gate slot:
+    (leg, fixture doc_id from the synthetic path, rounded score)."""
+    return df.select(
+        F.lit(name).alias("leg"),
+        F.substring("path", 5, 32).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"))
+
+
 def _bm25_oracle(terms: list[str], k: int, mode: str) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
@@ -221,12 +230,7 @@ def q_bm25_indexed_and(spark, sf_dir):
            .collect()[0][0])
     mlt = more_like_this(spark, idx2, src, 10, 20, with_doc_cols=True)
 
-    def leg(df, name):
-        return df.select(
-            F.lit(name).alias("leg"),
-            F.substring("path", 5, 32).cast("long").alias("doc_id"),
-            F.round("score", 6).alias("score"))
-    return leg(topk, "and").unionByName(leg(mlt, "mlt"))
+    return _leg(topk, "and").unionByName(_leg(mlt, "mlt"))
 
 
 o_bm25_indexed_and = f"""
@@ -359,18 +363,13 @@ def q_phrase_indexed(spark, sf_dir):
         search_indexed, search_near)
 
     idx = _pos_index(spark, sf_dir)
-    def leg(df, name):
-        return df.select(
-            F.lit(name).alias("leg"),
-            F.substring("path", 5, 32).cast("long").alias("doc_id"),
-            F.round("score", 6).alias("score"))
     return (
-        leg(search_indexed(spark, idx, "window agg", 10, "phrase",
+        _leg(search_indexed(spark, idx, "window agg", 10, "phrase",
                            with_doc_cols=True), "phrase")
-        .unionByName(leg(search_near(spark, idx, "window agg", 10,
+        .unionByName(_leg(search_near(spark, idx, "window agg", 10,
                                      slop=1, ordered=False,
                                      with_doc_cols=True), "near"))
-        .unionByName(leg(search_near(spark, idx, "window agg", 10,
+        .unionByName(_leg(search_near(spark, idx, "window agg", 10,
                                      slop=1, ordered=True,
                                      with_doc_cols=True), "near_ord")))
 
@@ -549,14 +548,9 @@ def q_wildcard_search(spark, sf_dir):
         search_regex, search_wildcard)
 
     idx = _pos_index(spark, sf_dir)
-    def leg(df, name):
-        return df.select(
-            F.lit(name).alias("leg"),
-            F.substring("path", 5, 32).cast("long").alias("doc_id"),
-            F.round("score", 6).alias("score"))
-    return (leg(search_wildcard(spark, idx, "s*", k=10,
+    return (_leg(search_wildcard(spark, idx, "s*", k=10,
                                 with_doc_cols=True), "wild")
-            .unionByName(leg(search_regex(spark, idx, "s.*a.*", k=10,
+            .unionByName(_leg(search_regex(spark, idx, "s.*a.*", k=10,
                                           with_doc_cols=True), "regex")))
 
 
@@ -700,12 +694,7 @@ def q_partitioned_search(spark, sf_dir):
                                 "and", with_doc_cols=True)
     globl = search_all_partitions(spark, root, "window agg", 10,
                                   "and", with_doc_cols=True)
-    def leg(df, name):
-        return df.select(
-            F.lit(name).alias("leg"),
-            F.substring("path", 5, 32).cast("long").alias("doc_id"),
-            F.round("score", 6).alias("score"))
-    return leg(routed, "routed").unionByName(leg(globl, "global"))
+    return _leg(routed, "routed").unionByName(_leg(globl, "global"))
 
 
 o_partitioned_search = f"""
@@ -743,6 +732,13 @@ g_sc AS (SELECT g_tf.doc_id,
 leg_r AS (SELECT doc_id, round(sum(s), 6) AS score FROM p_sc
           GROUP BY doc_id HAVING count(*) = 2
           ORDER BY sum(s) DESC, doc_id LIMIT 10),
+-- NOTE tie-break: the engine cuts (score desc, partition value asc,
+-- per-subindex doc_id asc) while this leg cuts (score desc, fixture
+-- doc_id) — an exact raw-score tie straddling the k boundary across
+-- partitions could select different rows. Same latent risk every
+-- bm25 slot carries (engine-internal ids ≠ fixture ids); accepted
+-- because distinct docs tying in raw float64 BM25 requires identical
+-- (tf, dl, df) vectors.
 leg_g AS (SELECT doc_id, round(sum(s), 6) AS score FROM g_sc
           GROUP BY doc_id HAVING count(*) = 2
           ORDER BY sum(s) DESC, doc_id LIMIT 10)
@@ -762,16 +758,11 @@ def q_boolean_search(spark, sf_dir):
     from datastream_io_spark.operators.boolean_search import search_boolean
 
     idx = _pos_index(spark, sf_dir)
-    def leg(df, name):
-        return df.select(
-            F.lit(name).alias("leg"),
-            F.substring("path", 5, 32).cast("long").alias("doc_id"),
-            F.round("score", 6).alias("score"))
     return (
-        leg(search_boolean(spark, idx,
+        _leg(search_boolean(spark, idx,
                            "window AND (agg OR scan) NOT merge", 10,
                            with_doc_cols=True), "bool")
-        .unionByName(leg(search_boolean(spark, idx, "agg AND s*", 10,
+        .unionByName(_leg(search_boolean(spark, idx, "agg AND s*", 10,
                                         with_doc_cols=True), "wildexp")))
 
 

@@ -237,8 +237,10 @@ class Searcher:
         jobs. Dialect note: the cold path matches with JVM regex, the
         warm cache with Python ``re`` — identical on the common syntax
         subset (parity-tested); exotic constructs may differ between
-        the two, same caveat Lucene documents across its regexp APIs."""
-        pat = pattern.lower()
+        the two, same caveat Lucene documents across its regexp APIs.
+        Patterns are matched verbatim (lowercase terms — see the cold
+        function)."""
+        pat = pattern
         if not pat:
             return _empty_topk(self.spark, with_doc_cols)
         if self._dict_pdf is None:
@@ -255,44 +257,11 @@ class Searcher:
         row comes off the resolved docs scan and idf off the cached
         dict (no per-call dict job), then the standard warm OR plan at
         k+1 with the source excluded. Identical results to the cold
-        function (parity-tested)."""
-        from collections import Counter
-
-        from datastream_io_spark.functions.tokenize import tokenizer_for
-
-        rows = self._docs_df.where(
-            F.col("doc_id") == int(doc_id)).collect()
-        if not rows:
-            raise ValueError(
-                f"doc_id {doc_id} not in index {self.index_dir}")
-        row = rows[0]
-        if "content" in self._docs_df.columns and \
-                row["content"] is not None:
-            text = row["content"]
-        elif corpus is not None:
-            crows = corpus.where(
-                (F.col("repo") == row["repo"])
-                & (F.col("path") == row["path"])
-                & (F.col("commit") == row["commit"])).limit(1).collect()
-            if not crows:
-                raise ValueError(
-                    f"doc_id {doc_id} ({row['repo']}/{row['path']}) "
-                    "not found in the supplied corpus")
-            text = crows[0]["content"]
-        else:
-            raise ValueError(
-                f"index at {self.index_dir} stores no content (built "
-                "without store_content=True) — pass the source corpus "
-                "DataFrame")
-        pure, _ = tokenizer_for(self.stats["tokenizer"])
-        tf = Counter(pure(text))
-        if not tf:
-            return _empty_topk(self.spark, with_doc_cols)
-        lrows = self._lookup(sorted(tf))
-        weighted = sorted(
-            (-tf[r["term"]] * float(r["idf"]), r["term"]) for r in lrows)
-        sel = {t for _, t in weighted[:max_terms]}
-        rows_sel = [r for r in lrows if r["term"] in sel]
+        function (parity-tested); selection logic is the shared
+        :func:`_mlt_selection`."""
+        rows_sel = _mlt_selection(
+            self.spark, self.index_dir, self.stats, doc_id, max_terms,
+            corpus, docs_df=self._docs_df, lookup=self._lookup)
         if not rows_sel:
             return _empty_topk(self.spark, with_doc_cols)
         idf = {r["term"]: float(r["idf"]) for r in rows_sel}
@@ -312,7 +281,7 @@ class Searcher:
         if mode == "regex":
             import re
 
-            rx = re.compile(q.lower())
+            rx = re.compile(q)
             mask = np.fromiter(
                 (rx.fullmatch(t) is not None
                  for t in self._dict_pdf.index), bool,
@@ -1237,10 +1206,9 @@ def _expansion_rows_cold(spark: SparkSession, index_dir: str, q: str,
                 os.path.join(index_dir, "dict")).where(
                 F.col("term").startswith(prefix))
     elif mode == "regex":
-        pat = q.lower()
-        if not pat:
+        if not q:
             return []
-        exp = _regex_expansion_df(spark, index_dir, pat)
+        exp = _regex_expansion_df(spark, index_dir, q)
     else:
         qq = _fuzzy_term(q)
         if not qq:
@@ -1614,15 +1582,30 @@ _REGEX_META = set(".[]{}()*+?|^$\\")
 
 
 def _regex_literal_prefix(pattern: str) -> str:
-    """Longest literal prefix of a regex (chars before the first
-    metacharacter, leading ``^`` stripped) — the handle that lets a
-    regex expansion ride the same range-file skipping as wildcard."""
+    """SOUND literal prefix of a regex (the handle that lets a regex
+    expansion ride the same range-file skipping as wildcard): the
+    leading literal run, minus anything the following syntax could
+    make optional. Conservative by construction — returning "" only
+    costs pruning, never correctness:
+
+    * any ``|`` in the pattern → "" (a top-level alternation makes the
+      whole run optional; group-scoped ``|`` like ``ab(c|d)`` would be
+      safe but detecting nesting isn't worth the risk);
+    * a ``?``/``*``/``{`` quantifier right after the run applies to
+      its last char → drop that char (``mer?ge`` → "me", ``ab*c`` →
+      "a"); ``+`` keeps it (one-or-more)."""
     p = pattern[1:] if pattern.startswith("^") else pattern
+    if "|" in p:
+        return ""
     out = []
+    term = ""
     for ch in p:
         if ch in _REGEX_META:
+            term = ch
             break
         out.append(ch)
+    if term in ("?", "*", "{") and out:
+        out.pop()
     return "".join(out)
 
 
@@ -1641,8 +1624,12 @@ def search_regex(spark: SparkSession, index_dir: str, pattern: str,
     pushed StartsWith alongside the rlike (row-group skipping). A
     prefix-less pattern (``.*ser``) honestly scans the dictionary —
     the same cost class every engine pays for leading-wildcard terms.
-    Patterns use JVM regex syntax (executor-side ``rlike``)."""
-    pat = pattern.lower()
+    Patterns use JVM regex syntax (executor-side ``rlike``) and are
+    matched VERBATIM — index terms are lowercase, so write patterns in
+    lowercase (an uppercase literal matches nothing, as in Lucene;
+    lowercasing the pattern here would invert escape classes:
+    ``\\W``.lower() is ``\\w``)."""
+    pat = pattern
     if not pat:
         return _empty_topk(spark, with_doc_cols)
     return _expansion_or_topk(spark, index_dir, None, k,
@@ -1884,6 +1871,9 @@ def facet_counts_grouped(spark: SparkSession, index_dir: str,
     partitioned root (:mod:`~datastream_io_spark.operators.partitioned`)
     amortizes that scan away entirely; this path is the exact answer
     for ad-hoc columns."""
+    if mode not in ("and", "or", "phrase"):
+        raise ValueError(
+            f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
     docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
@@ -2063,25 +2053,25 @@ def _near_plan(stats: dict, rows_lookup, query: str, slop: int,
             buckets)
 
 
-def mlt_terms(spark: SparkSession, index_dir: str, doc_id: int,
-              max_terms: int = 20,
-              corpus: DataFrame | None = None) -> list[str]:
-    """The 'interesting terms' of one stored doc (Lucene MoreLikeThis
-    selection): tokenize the doc's content with the index's tokenizer,
-    weight each distinct term by tf·idf (idf from the index dict — the
-    same values scoring uses), keep the ``max_terms`` heaviest (ties:
-    term asc). Content comes from the index's own doc store
-    (``store_content=True`` builds) or, failing that, from ``corpus``
-    keyed by (repo, path, commit). Driver cost is O(one doc): one
-    pushed-down docs row fetch + one bucket-pruned dict lookup of the
-    doc's distinct terms."""
+def _mlt_selection(spark: SparkSession, index_dir: str, stats: dict,
+                   doc_id: int, max_terms: int,
+                   corpus: DataFrame | None,
+                   docs_df: DataFrame | None = None,
+                   lookup=None) -> list:
+    """Shared MLT selection (cold function and warm Searcher alike):
+    resolve the source doc's content (doc store, else ``corpus`` by
+    (repo, path, commit)), tokenize with the index's tokenizer, weight
+    each distinct term by tf·idf (idf from the index dict — the same
+    values scoring uses) and return the dict rows of the ``max_terms``
+    heaviest (ties: term asc). ONE docs-row fetch + ONE dict lookup —
+    the returned rows carry term_bucket/idf so callers never look the
+    selection up again."""
     from collections import Counter
 
     from datastream_io_spark.functions.tokenize import tokenizer_for
 
-    stats = read_stats(index_dir)
-    _check_format(stats, index_dir)
-    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+    docs = (docs_df if docs_df is not None else
+            spark.read.parquet(os.path.join(index_dir, "docs")))
     rows = docs.where(F.col("doc_id") == int(doc_id)).collect()
     if not rows:
         raise ValueError(f"doc_id {doc_id} not in index {index_dir}")
@@ -2106,13 +2096,26 @@ def mlt_terms(spark: SparkSession, index_dir: str, doc_id: int,
     tf = Counter(pure(text))
     if not tf:
         return []
-    dict_rows = lookup_terms(spark, index_dir, sorted(tf),
-                             int(stats["n_buckets"]))
-    weighted = sorted(
-        ((-tf[r["term"]] * float(r["idf"]), r["term"])
-         for r in dict_rows),
-    )
-    return [t for _, t in weighted[:max_terms]]
+    if lookup is None:
+        def lookup(ts):
+            return lookup_terms(spark, index_dir, ts,
+                                int(stats["n_buckets"]))
+    lrows = lookup(sorted(tf))
+    return sorted(
+        lrows,
+        key=lambda r: (-tf[r["term"]] * float(r["idf"]), r["term"]),
+    )[:max_terms]
+
+
+def mlt_terms(spark: SparkSession, index_dir: str, doc_id: int,
+              max_terms: int = 20,
+              corpus: DataFrame | None = None) -> list[str]:
+    """The 'interesting terms' of one stored doc (Lucene MoreLikeThis
+    selection) — see :func:`_mlt_selection` for the mechanics."""
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    return [r["term"] for r in _mlt_selection(
+        spark, index_dir, stats, doc_id, max_terms, corpus)]
 
 
 def more_like_this(
@@ -2129,18 +2132,17 @@ def more_like_this(
     source doc itself excluded. The ranking job is exactly the OR
     query plan — block-max decode skipping, per-split k-cut (k+1 so
     evicting the source can never starve the page), one global
-    TakeOrdered."""
-    terms = mlt_terms(spark, index_dir, doc_id, max_terms, corpus)
-    empty = _empty_topk(spark, with_doc_cols)
-    if not terms:
-        return empty
+    TakeOrdered. Total Spark jobs: docs-row fetch + dict lookup +
+    ranking (the selection rows carry idf/bucket — no re-lookup)."""
     stats = read_stats(index_dir)
-    dict_rows = lookup_terms(spark, index_dir, terms,
-                             int(stats["n_buckets"]))
-    if not dict_rows:
+    _check_format(stats, index_dir)
+    rows_sel = _mlt_selection(spark, index_dir, stats, doc_id,
+                              max_terms, corpus)
+    empty = _empty_topk(spark, with_doc_cols)
+    if not rows_sel:
         return empty
-    idf = {r["term"]: float(r["idf"]) for r in dict_rows}
-    buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
+    idf = {r["term"]: float(r["idf"]) for r in rows_sel}
+    buckets = sorted({int(r["term_bucket"]) for r in rows_sel})
     top = _wand_topk(spark, index_dir, idf, buckets,
                      float(stats["avgdl"]), len(idf), k + 1, "or",
                      with_doc_cols)

@@ -480,6 +480,9 @@ def facet_counts_all_partitions(
         facet_counts_grouped,
     )
 
+    if mode not in ("and", "or", "phrase"):
+        raise ValueError(
+            f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
     manifest = read_partitioned(root)
     by = manifest["by"]
     values = sorted(manifest["values"])

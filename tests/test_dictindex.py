@@ -253,6 +253,13 @@ def test_regex_search_parity_and_bruteforce(spark, doc_index,
     assert _regex_literal_prefix("s.*a.*") == "s"
     assert _regex_literal_prefix(".*ser") == ""
     assert _regex_literal_prefix("(a|b)c") == ""
+    # soundness: syntax that makes trailing literals optional must
+    # shrink (or void) the prefix — review r5 finding
+    assert _regex_literal_prefix("scan|sort") == ""
+    assert _regex_literal_prefix("mer?ge") == "me"
+    assert _regex_literal_prefix("ab*c") == "a"
+    assert _regex_literal_prefix("ab+c") == "ab"
+    assert _regex_literal_prefix("ab{2}c") == "a"
 
     corpus = documents_as_corpus(spark, SF0001)
     pdf = docs_with_text(spark, doc_index, corpus).toPandas()
@@ -260,7 +267,7 @@ def test_regex_search_parity_and_bruteforce(spark, doc_index,
         f"{doc_index}/dict").select("term").collect()})
 
     for pat in ("s.*a.*", "w.+w", "me(rge)?", ".*dow", "(scan|sort)",
-                "zz.*"):
+                "scan|sort", "mer?ge", "zz.*"):
         a = _topk(spark, search_regex(spark, sidecar_index, pat, 10))
         b = _topk(spark, search_regex(spark, doc_index, pat, 10))
         assert a == b, pat
@@ -275,6 +282,8 @@ def test_regex_search_parity_and_bruteforce(spark, doc_index,
             assert b == [], pat
     # full-match anchoring: a mid-term fragment matches nothing
     assert _topk(spark, search_regex(spark, doc_index, "indo", 10)) == []
+    # verbatim matching: terms are lowercase, uppercase literals miss
+    assert _topk(spark, search_regex(spark, doc_index, "WINDOW", 10)) == []
     assert _topk(spark, search_regex(spark, doc_index, "", 10)) == []
 
 
