@@ -95,18 +95,28 @@ def read_partitioned(root: str) -> dict:
 _AQE_TOGGLE_LOCK = threading.Lock()
 
 
-def _collect_no_aqe(spark: SparkSession, df: DataFrame) -> list:
+def _collect_no_aqe(spark: SparkSession, df: DataFrame,
+                    shuffle_partitions: int | None = None) -> list:
     """Collect with AQE disabled for THIS query: AQE materializes each
     union branch's shuffle map stage as its own job id, which turns a
     V-branch union into O(V) jobs and defeats the one-job contracts
-    (and their assertions) of the cross-partition paths."""
+    (and their assertions) of the cross-partition paths. Without AQE
+    nothing coalesces the post-shuffle width either, so callers that
+    know their true group count pass ``shuffle_partitions`` — on a
+    plain 200-partition session a 5-subindex union otherwise runs
+    5 × 200 mostly-empty reduce tasks."""
     with _AQE_TOGGLE_LOCK:
         aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(max(1, int(shuffle_partitions))))
         try:
             return df.collect()
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
 
 
 def facet_counts_partitioned(
@@ -159,9 +169,11 @@ def facet_counts_partitioned(
         return empty
 
     scans, tomb_of, plan = [], {}, None
+    n_groups = 0
     for v in values:
         sub = _subdir(root, by, v)
         stats = read_stats(sub)
+        n_groups += int(stats.get("n_splits", 1))
         _check_format(stats, sub)
         vmode, terms, phrase = _plan_terms(query, mode, stats)
         if not terms:
@@ -214,7 +226,7 @@ def facet_counts_partitioned(
     # ids for one logical query), which defeats the job-count contract
     # and its assertion. Without AQE the whole root answers in ONE job;
     # the collected result is ≤ V tiny rows, driver-safe by definition.
-    rows = _collect_no_aqe(spark, cand)
+    rows = _collect_no_aqe(spark, cand, shuffle_partitions=n_groups)
     rows.sort(key=lambda r: (-r["n_docs"], r["_fv"]))
     out = spark.createDataFrame(
         [(r["_fv"], r["n_docs"]) for r in rows],
@@ -417,9 +429,11 @@ def search_all_partitions(
     union = cands[0]
     for c in cands[1:]:
         union = union.unionByName(c)
+    n_groups = sum(int(stats_of[v].get("n_splits", 1)) for v in values)
     rank_rows = _collect_no_aqe(
         spark, union.orderBy(F.desc("score"), F.asc(by),
-                             F.asc("doc_id")).limit(k))
+                             F.asc("doc_id")).limit(k),
+        shuffle_partitions=n_groups)
     if not rank_rows:
         return empty
     if not with_doc_cols:
@@ -498,3 +512,44 @@ def facet_counts_all_partitions(
             .agg(F.sum("n_docs").alias("n_docs"))
             .where(F.col("n_docs") > 0)
             .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+
+
+def maintain_all_partitions(spark: SparkSession, root: str, op: str,
+                            **kw) -> dict:
+    """Apply one maintenance operation to EVERY subindex of a
+    partitioned root — ``op`` ∈ 'delete' (``where=`` predicate only:
+    doc_ids are per-subindex and would be ambiguous across the root),
+    'purge', 'sidecars'. Returns ``{value: result}`` (tombstone count /
+    purge metrics / sidecar n_terms). Per-subindex semantics are
+    EXACTLY the single-index operations — deletes stay live per
+    subindex, purge rebuilds that subindex's own statistics (the
+    partition-local scoring contract), sidecars refresh independently.
+    At cluster scale each subindex op is an independent spark-submit
+    over its own directory (the same fan-out shape as the builds);
+    this loop is the single-driver convenience."""
+    if op not in ("delete", "purge", "sidecars"):
+        raise ValueError(
+            f"op must be 'delete', 'purge' or 'sidecars', got {op!r}")
+    if op == "delete" and kw.get("doc_ids") is not None:
+        raise ValueError(
+            "partitioned delete takes where= only — doc_ids are "
+            "per-subindex and ambiguous across the root")
+    manifest = read_partitioned(root)
+    by = manifest["by"]
+    out = {}
+    for v in sorted(manifest["values"]):
+        sub = _subdir(root, by, v)
+        if op == "delete":
+            from datastream_io_spark.operators.indexed_search import (
+                delete_docs,
+            )
+            out[v] = delete_docs(spark, sub, **kw)
+        elif op == "purge":
+            from datastream_io_spark.operators.build import purge_deleted
+            out[v] = purge_deleted(spark, sub)
+        else:
+            from datastream_io_spark.operators.dictindex import (
+                build_term_sidecars,
+            )
+            out[v] = build_term_sidecars(spark, sub, **kw)
+    return out

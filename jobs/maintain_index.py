@@ -19,6 +19,12 @@ import sys
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", required=True)
+    p.add_argument("--partitioned", action="store_true",
+                   help="--index is a partitioned root: apply "
+                        "delete/purge/sidecars to EVERY subindex "
+                        "(delete needs --where; compact/merge are "
+                        "per-subindex streaming ops — point --index at "
+                        "a subindex dir)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("delete", help="tombstone docs (live-docs: every "
@@ -48,6 +54,27 @@ def main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("maintain_index").getOrCreate()
+
+    if args.partitioned:
+        if args.cmd not in ("delete", "purge", "sidecars"):
+            p.error("--partitioned supports delete/purge/sidecars")
+        if args.cmd == "delete" and args.doc_ids:
+            p.error("--partitioned delete takes --where only (doc ids "
+                    "are per-subindex)")
+        from datastream_io_spark.operators.partitioned import (
+            maintain_all_partitions,
+        )
+
+        kw = {"where": args.where} if args.cmd == "delete" else {}
+        out = maintain_all_partitions(spark, args.index, args.cmd, **kw)
+        for v, res in out.items():
+            if args.cmd == "delete":
+                print(f"{v}: tombstones now cover {res} docs")
+            elif args.cmd == "purge":
+                print(f"{v}: purged n_docs={res['n_docs']}")
+            else:
+                print(f"{v}: sidecars n_terms={res['n_terms']}")
+        return 0
 
     if args.cmd == "delete":
         from datastream_io_spark.operators.indexed_search import delete_docs

@@ -954,3 +954,50 @@ def test_warm_more_like_this_matches_cold(spark, pos_index):
         assert a == b and a, src
     with pytest.raises(ValueError, match="not in index"):
         s.more_like_this(10**9, corpus=corpus)
+
+
+def test_maintain_all_partitions_lifecycle(spark, tmp_path):
+    """r5: delete/purge/sidecars across every subindex of a root —
+    deletes are honored by the global search, purge removes the
+    tombstones while the root keeps answering, sidecars refresh."""
+    from datastream_io_spark.operators.dictindex import (
+        prefix_expansion_df)
+    from datastream_io_spark.operators.partitioned import (
+        build_partitioned_index, maintain_all_partitions,
+        search_all_partitions)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    root = str(tmp_path / "maint_root")
+    build_partitioned_index(spark, corpus, root, by="lang", n_splits=2,
+                            n_buckets=8, tokenizer="simple")
+    before = search_all_partitions(spark, root, "window agg", 500,
+                                   "or", with_doc_cols=True).collect()
+    assert before
+
+    with pytest.raises(ValueError, match="doc_ids"):
+        maintain_all_partitions(spark, root, "delete", doc_ids=[1])
+    with pytest.raises(ValueError, match="op must be"):
+        maintain_all_partitions(spark, root, "compact")
+
+    counts = maintain_all_partitions(
+        spark, root, "delete", where="pmod(doc_id, 3) = 0",
+        max_frac=None)
+    assert counts and all(n > 0 for n in counts.values())
+    mid = search_all_partitions(spark, root, "window agg", 500, "or",
+                                with_doc_cols=True).collect()
+    assert 0 < len(mid) < len(before)
+
+    purged = maintain_all_partitions(spark, root, "purge")
+    assert all(p["n_docs"] > 0 for p in purged.values())
+    for v in counts:
+        assert not os.path.exists(
+            os.path.join(root, f"lang={v}", "tombstones"))
+    after = search_all_partitions(spark, root, "window agg", 500, "or",
+                                  with_doc_cols=True).collect()
+    assert {r.path for r in after} == {r.path for r in mid}
+
+    side = maintain_all_partitions(spark, root, "sidecars")
+    assert all(m["n_terms"] > 0 for m in side.values())
+    for v in counts:
+        assert prefix_expansion_df(
+            spark, os.path.join(root, f"lang={v}"), "s") is not None
