@@ -694,7 +694,18 @@ def q_partitioned_search(spark, sf_dir):
                                 "and", with_doc_cols=True)
     globl = search_all_partitions(spark, root, "window agg", 10,
                                   "and", with_doc_cols=True)
-    return _leg(routed, "routed").unionByName(_leg(globl, "global"))
+    # r5 'gbool' leg: the boolean language across the whole root under
+    # the same merged statistics — candidates from the tree, scores
+    # over the positive terms each candidate contains
+    from datastream_io_spark.operators.partitioned import (
+        search_boolean_all_partitions,
+    )
+
+    gbool = search_boolean_all_partitions(
+        spark, root, "window AND (agg OR scan) NOT merge", 10,
+        with_doc_cols=True)
+    return (_leg(routed, "routed").unionByName(_leg(globl, "global"))
+            .unionByName(_leg(gbool, "gbool")))
 
 
 o_partitioned_search = f"""
@@ -741,10 +752,32 @@ leg_r AS (SELECT doc_id, round(sum(s), 6) AS score FROM p_sc
 -- (tf, dl, df) vectors.
 leg_g AS (SELECT doc_id, round(sum(s), 6) AS score FROM g_sc
           GROUP BY doc_id HAVING count(*) = 2
-          ORDER BY sum(s) DESC, doc_id LIMIT 10)
+          ORDER BY sum(s) DESC, doc_id LIMIT 10),
+b_sc AS (SELECT g_tf.doc_id, g_tf.term,
+              ln(1 + (g_st.n - g_df.df + 0.5) / (g_df.df + 0.5))
+              * (g_tf.tf * (1.2 + 1))
+              / (g_tf.tf + 1.2 * (1 - 0.75 + 0.75 * g_dl.dl / g_st.avgdl))
+              AS s
+       FROM g_tf JOIN g_dl USING (doc_id) JOIN g_df USING (term)
+       CROSS JOIN g_st
+       WHERE g_tf.term IN ('agg', 'window', 'scan')),
+b_sets AS (SELECT doc_id,
+                  bool_or(term = 'window') AS h_w,
+                  bool_or(term = 'agg') AS h_a,
+                  bool_or(term = 'scan') AS h_s,
+                  bool_or(term = 'merge') AS h_m
+           FROM g_tf GROUP BY doc_id),
+b_cand AS (SELECT doc_id FROM b_sets WHERE h_w AND (h_a OR h_s)
+           AND NOT h_m),
+leg_b AS (SELECT b_sc.doc_id, round(sum(s), 6) AS score
+          FROM b_sc JOIN b_cand USING (doc_id)
+          GROUP BY b_sc.doc_id
+          ORDER BY sum(s) DESC, b_sc.doc_id LIMIT 10)
 SELECT 'routed' AS leg, doc_id, score FROM leg_r
 UNION ALL
 SELECT 'global' AS leg, doc_id, score FROM leg_g
+UNION ALL
+SELECT 'gbool' AS leg, doc_id, score FROM leg_b
 """
 
 

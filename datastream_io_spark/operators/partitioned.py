@@ -426,10 +426,22 @@ def search_all_partitions(
         cands.append(cand.select(F.lit(v).alias(by), "doc_id", "score"))
     if not cands:
         return empty
+    n_groups = sum(int(stats_of[v].get("n_splits", 1)) for v in values)
+    return _global_cut(spark, root, by, cands, k, with_doc_cols,
+                       doc_cols, schema, empty, n_groups)
+
+
+def _global_cut(spark, root, by, cands, k, with_doc_cols, doc_cols,
+                schema, empty, n_groups):
+    """Shared ranking tail of the cross-partition searches: ONE job
+    over the union of per-subindex candidate frames (AQE off, shuffle
+    width pinned to the true group count), then an optional ≤k-row
+    display job (per-branch doc_id pushdown, subset schema — no
+    footer-inference job per subindex), assembled driver-side into a
+    k-row local relation."""
     union = cands[0]
     for c in cands[1:]:
         union = union.unionByName(c)
-    n_groups = sum(int(stats_of[v].get("n_splits", 1)) for v in values)
     rank_rows = _collect_no_aqe(
         spark, union.orderBy(F.desc("score"), F.asc(by),
                              F.asc("doc_id")).limit(k),
@@ -440,15 +452,9 @@ def search_all_partitions(
         return spark.createDataFrame(
             [(r[by], r["doc_id"], r["score"]) for r in rank_rows],
             schema)
-    # display job: only the ≤k hit docs, only the subindexes they live
-    # in (doc_id pushdown per branch); assembled driver-side so the
-    # returned frame is a ≤k-row local relation
     hit_of: dict[str, list[int]] = {}
     for r in rank_rows:
         hit_of.setdefault(r[by], []).append(r["doc_id"])
-    # explicit subset schema: Spark prunes file columns to it without a
-    # footer-inference job per subindex (extra file columns — dl,
-    # content, ... — are simply never read)
     display_schema = ("doc_id long, repo string, path string, "
                       "commit string, lang string")
     docs = None
@@ -553,3 +559,170 @@ def maintain_all_partitions(spark: SparkSession, root: str, op: str,
             )
             out[v] = build_term_sidecars(spark, sub, **kw)
     return out
+
+
+def search_boolean_all_partitions(
+    spark: SparkSession,
+    root: str,
+    query: str,
+    k: int = 10,
+    with_doc_cols: bool = False,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Boolean query language across the WHOLE partitioned root (r5):
+    per-subindex tree evaluation (the standard block-skipping boolean
+    kernel), ranked under the same plan-time GLOBAL statistics as
+    :func:`search_all_partitions` — so results equal
+    ``search_boolean`` over an unpartitioned index of the same corpus
+    exactly (test-pinned), quoted phrases, proximity phrases and
+    wildcard/fuzzy leaves included.
+
+    Expansion leaves (`par*`, `term~N`) expand against the UNION of
+    the subindex dictionaries with the cap applied by GLOBAL df
+    (df desc, term asc) — a term common in one partition but absent in
+    another expands exactly as it would on the merged dictionary (one
+    union-scan job per leaf). A term absent from some subindex simply
+    evaluates to the empty set inside that subindex's kernels, which
+    is the correct boolean semantics with no plan-time pruning needed.
+
+    Job count: one dict-union job per expansion leaf + ONE planning
+    job (global df of the positive terms) + ONE ranking job + the
+    ≤k-row display job — the :func:`_global_cut` tail."""
+    import math
+
+    from datastream_io_spark.functions.xxhash import term_bucket
+    from datastream_io_spark.operators.boolean_search import (
+        expand_tree,
+        parse_boolean,
+        score_tree_split,
+        tree_has_expansion,
+        tree_has_phrase,
+        tree_terms,
+    )
+    from datastream_io_spark.operators.build import (
+        DICT_SCHEMA,
+        read_stats,
+    )
+    from datastream_io_spark.operators.indexed_search import (
+        _check_format,
+        _tombstone_state,
+        _tv_from,
+        _with_tomb,
+        postings_rows,
+    )
+
+    manifest = read_partitioned(root)
+    by = manifest["by"]
+    values = sorted(manifest["values"])
+    doc_cols = [c for c in ("repo", "path", "commit", "lang") if c != by]
+    schema = (f"{by} string, doc_id long, "
+              + (", ".join(f"{c} string" for c in doc_cols) + ", "
+                 if with_doc_cols else "")
+              + "score double")
+    empty = spark.createDataFrame([], schema)
+    if not values:
+        return empty
+
+    stats_of, tok = {}, None
+    n_docs_g, sum_dl_g = 0, 0
+    for v in values:
+        sub = _subdir(root, by, v)
+        stats = read_stats(sub)
+        _check_format(stats, sub)
+        if tok is None:
+            tok = stats["tokenizer"]
+        elif stats["tokenizer"] != tok:
+            raise ValueError(
+                f"subindexes disagree on tokenizer: {by}={v} has "
+                f"{stats['tokenizer']!r}, expected {tok!r}")
+        stats_of[v] = stats
+        n_docs_g += int(stats["n_docs"])
+        sum_dl_g += round(float(stats["avgdl"]) * int(stats["n_docs"]))
+    if not n_docs_g:
+        return empty
+    avgdl_g = sum_dl_g / n_docs_g
+
+    tree = parse_boolean(query, tok)
+    if tree_has_phrase(tree):
+        for v in values:
+            if not stats_of[v].get("positions", False):
+                raise ValueError(
+                    "quoted/proximity phrases need positional "
+                    f"subindexes — {by}={v} lacks positions")
+
+    def union_expander(emode, base, dist):
+        if emode == "wildcard":
+            cond = F.col("term").startswith(base)
+        else:
+            lo, hi = max(1, len(base) - dist), len(base) + dist
+            cond = (F.length("term").between(lo, hi)
+                    & (F.levenshtein(F.col("term"), F.lit(base),
+                                     dist) >= 0))
+        scans = []
+        for v in values:
+            d = spark.read.schema(DICT_SCHEMA).parquet(
+                os.path.join(_subdir(root, by, v), "dict"))
+            scans.append(d.where(cond).select("term", "df"))
+        u = scans[0]
+        for d in scans[1:]:
+            u = u.unionByName(d)
+        agg: dict[str, int] = {}
+        for r in _collect_no_aqe(spark, u):
+            agg[r["term"]] = agg.get(r["term"], 0) + int(r["df"])
+        ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _ in ranked[:max_expansions]]
+
+    if tree_has_expansion(tree):
+        tree = expand_tree(tree, union_expander)
+    positives, all_terms = tree_terms(tree)
+    all_terms.discard("")  # empty-expansion sentinel, never in a dict
+    if not all_terms:
+        return empty
+
+    # ONE planning job: global df of the positive terms → global idf
+    dict_scans = []
+    for v in values:
+        buckets = sorted({term_bucket(t, int(stats_of[v]["n_buckets"]))
+                          for t in positives} or {0})
+        d = spark.read.schema(DICT_SCHEMA).parquet(
+            os.path.join(_subdir(root, by, v), "dict"))
+        dict_scans.append(
+            d.where(F.col("term_bucket").isin(buckets)
+                    & F.col("term").isin(sorted(positives)))
+            .select("term", "df"))
+    dunion = dict_scans[0]
+    for d in dict_scans[1:]:
+        dunion = dunion.unionByName(d)
+    df_g: dict[str, int] = {}
+    for r in _collect_no_aqe(spark, dunion):
+        df_g[r["term"]] = df_g.get(r["term"], 0) + int(r["df"])
+    idf_g = {t: math.log1p((n_docs_g - df + 0.5) / (df + 0.5))
+             for t, df in df_g.items()}
+
+    cands = []
+    for v in values:
+        sub = _subdir(root, by, v)
+        buckets = sorted({term_bucket(t, int(stats_of[v]["n_buckets"]))
+                          for t in all_terms})
+        tomb, tomb_join = _tombstone_state(spark, sub)
+        prows = _with_tomb(
+            postings_rows(spark, sub, buckets, sorted(all_terms)),
+            tomb_join)
+
+        def make_kernel(_tomb):
+            # a 2-arg function would be (key, pdf) to applyInPandas —
+            # bind the per-subindex tombstones via closure instead
+            def kernel(pdf):
+                blocks_of = {r.term: list(r.blocks)
+                             for r in pdf.itertuples()}
+                tv = _tv_from(pdf, _tomb)
+                return score_tree_split(tree, idf_g, avgdl_g, k,
+                                        blocks_of, {}, tv)
+            return kernel
+
+        cand = prows.groupBy("split_id").applyInPandas(
+            make_kernel(tomb), "doc_id long, score double")
+        cands.append(cand.select(F.lit(v).alias(by), "doc_id", "score"))
+    n_groups = sum(int(stats_of[v].get("n_splits", 1)) for v in values)
+    return _global_cut(spark, root, by, cands, k, with_doc_cols,
+                       doc_cols, schema, empty, n_groups)

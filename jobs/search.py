@@ -69,17 +69,24 @@ def main(argv: list[str]) -> int:
     t0 = time.time()
     if args.partitioned:
         if args.snippets or args.facet is not None or args.mode not in (
-                "and", "or", "phrase"):
-            p.error("--partitioned supports modes and/or/phrase "
-                    "(no --snippets/--facet; point --index at a "
-                    "subindex dir for those)")
+                "and", "or", "phrase", "near", "boolean"):
+            p.error("--partitioned supports modes and/or/phrase/near/"
+                    "boolean (no --snippets/--facet; point --index at "
+                    "a subindex dir for those)")
         from datastream_io_spark.operators.partitioned import (
-            read_partitioned, search_all_partitions, search_partitioned)
+            read_partitioned, search_all_partitions,
+            search_boolean_all_partitions, search_partitioned)
 
         if args.value is not None:
-            result = search_partitioned(
-                spark, args.index, args.value, args.query, args.k,
-                args.mode, with_doc_cols=True)
+            if args.mode == "boolean":
+                sub = f"{args.index}/{read_partitioned(args.index)['by']}" \
+                      f"={args.value}"
+                result = search_boolean(spark, sub, args.query, args.k,
+                                        with_doc_cols=True)
+            else:
+                result = search_partitioned(
+                    spark, args.index, args.value, args.query, args.k,
+                    args.mode, with_doc_cols=True)
             rows = result.collect()
             dt = time.time() - t0
             for r in rows:
@@ -87,9 +94,15 @@ def main(argv: list[str]) -> int:
                       f"{r.repo}/{r.path}")
         else:
             by = read_partitioned(args.index)["by"]
-            result = search_all_partitions(
-                spark, args.index, args.query, args.k, args.mode,
-                with_doc_cols=True)
+            if args.mode == "boolean":
+                result = search_boolean_all_partitions(
+                    spark, args.index, args.query, args.k,
+                    with_doc_cols=True)
+            else:
+                result = search_all_partitions(
+                    spark, args.index, args.query, args.k, args.mode,
+                    with_doc_cols=True, slop=args.slop,
+                    ordered=args.ordered)
             rows = result.collect()
             dt = time.time() - t0
             for r in rows:

@@ -1001,3 +1001,40 @@ def test_maintain_all_partitions_lifecycle(spark, tmp_path):
     for v in counts:
         assert prefix_expansion_df(
             spark, os.path.join(root, f"lang={v}"), "s") is not None
+
+
+def test_boolean_all_partitions_matches_unpartitioned(
+        spark, pos_index, tmp_path):
+    """r5: the global boolean search over a partitioned root equals
+    search_boolean on an unpartitioned index — operators, NOT, quoted
+    and proximity phrases, and wildcard/fuzzy leaves (expanded against
+    the union of subindex dictionaries, capped by global df)."""
+    from datastream_io_spark.operators.boolean_search import (
+        search_boolean)
+    from datastream_io_spark.operators.partitioned import (
+        build_partitioned_index, search_boolean_all_partitions)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    root = str(tmp_path / "gbool_root")
+    build_partitioned_index(spark, corpus, root, by="lang", n_splits=2,
+                            n_buckets=8, tokenizer="simple",
+                            positions=True)
+
+    def key(rows):
+        return sorted((r["path"], round(r["score"], 9)) for r in rows)
+
+    for q in ["window AND (agg OR scan) NOT merge",
+              '"window agg" OR scan',
+              '"window agg"~2 NOT merge',
+              "agg AND s*",
+              "agg AND windoq~1",
+              "agg NOT s*",
+              "zzznope AND window"]:
+        g = search_boolean_all_partitions(spark, root, q, 10**6,
+                                          with_doc_cols=True).collect()
+        m = search_boolean(spark, pos_index, q, 10**6,
+                           with_doc_cols=True).collect()
+        assert key(g) == key(m), q
+    assert key(search_boolean_all_partitions(
+        spark, root, "window AND agg", 10**6,
+        with_doc_cols=True).collect())  # non-empty sanity
