@@ -145,7 +145,7 @@ class Searcher:
             hits = self._dict_pdf[self._dict_pdf.index.isin(terms)]
             return [
                 {"term": t, "term_bucket": int(r["term_bucket"]),
-                 "idf": float(r["idf"])}
+                 "idf": float(r["idf"]), "df": int(r["df"])}
                 for t, r in hits.iterrows()
             ]
         return [r.asDict() for r in

@@ -378,31 +378,52 @@ def search_all_partitions(
     # Explicit DICT_SCHEMA (no per-sub footer inference) + AQE off for
     # the collect (AQE turns each union branch's map stage into its own
     # job id — the facet path's job-count lesson, r5)
-    from datastream_io_spark.operators.build import DICT_SCHEMA
+    def fetch_rows(ts):
+        from datastream_io_spark.operators.build import DICT_SCHEMA
 
-    dict_scans = []
-    for v in values:
-        sub = _subdir(root, by, v)
-        buckets = sorted({term_bucket(t, int(stats_of[v]["n_buckets"]))
-                          for t in terms})
-        d = spark.read.schema(DICT_SCHEMA).parquet(
-            os.path.join(sub, "dict"))
-        dict_scans.append(
-            d.where(F.col("term_bucket").isin(buckets)
-                    & F.col("term").isin(terms))
-            .select("term", "df").withColumn("_fv", F.lit(v)))
-    dunion = dict_scans[0]
-    for d in dict_scans[1:]:
-        dunion = dunion.unionByName(d)
-    drows = _collect_no_aqe(spark, dunion)
+        dict_scans = []
+        for v in values:
+            sub = _subdir(root, by, v)
+            buckets = sorted({term_bucket(t,
+                                          int(stats_of[v]["n_buckets"]))
+                              for t in ts})
+            d = spark.read.schema(DICT_SCHEMA).parquet(
+                os.path.join(sub, "dict"))
+            dict_scans.append(
+                d.where(F.col("term_bucket").isin(buckets)
+                        & F.col("term").isin(ts))
+                .select("term", "df").withColumn("_fv", F.lit(v)))
+        dunion = dict_scans[0]
+        for d in dict_scans[1:]:
+            dunion = dunion.unionByName(d)
+        return [(r["_fv"], r["term"], int(r["df"]))
+                for r in _collect_no_aqe(spark, dunion)]
 
+    return _rank_all_partitions(
+        spark, root, by, values, stats_of, vmode, terms, phrase,
+        n_docs_g, avgdl_g, k, with_doc_cols, doc_cols, schema, empty,
+        fetch_rows)
+
+
+def _rank_all_partitions(spark, root, by, values, stats_of, vmode,
+                         terms, phrase, n_docs_g, avgdl_g, k,
+                         with_doc_cols, doc_cols, schema, empty,
+                         fetch_rows, wand_extra=None):
+    """Shared core of the cold and warm cross-partition rankers:
+    ``fetch_rows(terms) -> [(value, term, df)]`` supplies per-subindex
+    dict rows (one union job cold; zero jobs off warm driver caches),
+    ``wand_extra(value) -> kwargs`` threads a warm Searcher's resolved
+    postings scan into the per-subindex kernels."""
     import math
 
-    df_g: dict[str, int] = {}
-    terms_of: dict[str, list[str]] = {v: [] for v in values}
-    for r in drows:
-        df_g[r["term"]] = df_g.get(r["term"], 0) + int(r["df"])
-        terms_of[r["_fv"]].append(r["term"])
+    from datastream_io_spark.functions.xxhash import term_bucket
+    from datastream_io_spark.operators.indexed_search import _wand_topk
+
+    df_g = {}
+    terms_of = {v: [] for v in values}
+    for v, t, df in fetch_rows(sorted(terms)):
+        df_g[t] = df_g.get(t, 0) + df
+        terms_of[v].append(t)
     if vmode in ("and", "phrase") and len(df_g) < len(terms):
         return empty  # some term absent from the WHOLE corpus
     if not df_g:
@@ -420,9 +441,11 @@ def search_all_partitions(
         sub = _subdir(root, by, v)
         buckets = sorted({term_bucket(t, int(stats_of[v]["n_buckets"]))
                           for t in found})
+        extra = wand_extra(v) if wand_extra is not None else {}
         cand = _wand_topk(
             spark, sub, {t: idf_g[t] for t in found}, buckets, avgdl_g,
-            len(terms), k, vmode, False, phrase=phrase, cand_only=True)
+            len(terms), k, vmode, False, phrase=phrase, cand_only=True,
+            **extra)
         cands.append(cand.select(F.lit(v).alias(by), "doc_id", "score"))
     if not cands:
         return empty
@@ -726,3 +749,119 @@ def search_boolean_all_partitions(
     n_groups = sum(int(stats_of[v].get("n_splits", 1)) for v in values)
     return _global_cut(spark, root, by, cands, k, with_doc_cols,
                        doc_cols, schema, empty, n_groups)
+
+
+class PartitionedSearcher:
+    """Warm serving handle over a partitioned root (r5): one warm
+    :class:`~datastream_io_spark.operators.indexed_search.Searcher`
+    per subindex (resolved postings/docs scans, driver dict caches)
+    plus the merged global statistics precomputed once — a
+    cross-partition query then PLANS WITH ZERO SPARK JOBS (per-term df
+    summed off the per-subindex driver caches) and ranks in one, the
+    same 1-job-per-query economy the single-index Searcher gives.
+    Results are identical to :func:`search_all_partitions`
+    (parity-tested), which is itself pinned to an unpartitioned index.
+
+    Same staleness contract as Searcher: deletes are live, but
+    purge / rebuild / merge under any subindex requires a new handle.
+    ``route(value)`` exposes the per-subindex warm Searchers for
+    partition-local queries (partition-local statistics — the routed
+    contract)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 dict_cache: str = "auto"):
+        from datastream_io_spark.operators.indexed_search import Searcher
+
+        self.spark = spark
+        self.root = root
+        manifest = read_partitioned(root)
+        self.by = manifest["by"]
+        self.values = sorted(manifest["values"])
+        self._sub = {v: Searcher(spark, _subdir(root, self.by, v),
+                                 dict_cache)
+                     for v in self.values}
+        toks = {s.stats["tokenizer"] for s in self._sub.values()}
+        if len(toks) > 1:
+            raise ValueError(
+                f"subindexes disagree on tokenizer: {sorted(toks)}")
+        self.stats_of = {v: s.stats for v, s in self._sub.items()}
+        self.n_docs_g = sum(int(s["n_docs"])
+                            for s in self.stats_of.values())
+        sum_dl_g = sum(round(float(s["avgdl"]) * int(s["n_docs"]))
+                       for s in self.stats_of.values())
+        self.avgdl_g = (sum_dl_g / self.n_docs_g
+                        if self.n_docs_g else 0.0)
+
+    def route(self, value: str):
+        """The warm Searcher of one partition value (KeyError if the
+        value has no subindex)."""
+        return self._sub[str(value)]
+
+    def search(self, query: str, k: int = 10, mode: str = "and",
+               with_doc_cols: bool = False, slop: int = 2,
+               ordered: bool = False) -> DataFrame:
+        """Global cross-partition top-k on the warm path — same
+        semantics (and results) as :func:`search_all_partitions`."""
+        from datastream_io_spark.operators.indexed_search import (
+            NearSpec,
+            _plan_terms,
+        )
+        from datastream_io_spark.operators.relational_search import (
+            parse_phrase,
+        )
+
+        if mode not in ("and", "or", "phrase", "near"):
+            raise ValueError(
+                f"mode must be 'and', 'or', 'phrase' or 'near', "
+                f"got {mode!r}")
+        if mode == "near" and slop < 0:
+            raise ValueError(f"slop must be ≥ 0, got {slop}")
+        by = self.by
+        doc_cols = [c for c in ("repo", "path", "commit", "lang")
+                    if c != by]
+        schema = (f"{by} string, doc_id long, "
+                  + (", ".join(f"{c} string" for c in doc_cols) + ", "
+                     if with_doc_cols else "")
+                  + "score double")
+        empty = self.spark.createDataFrame([], schema)
+        if not self.values or not self.n_docs_g:
+            return empty
+        stats0 = self.stats_of[self.values[0]]
+        if mode == "near":
+            for v in self.values:
+                if not self.stats_of[v].get("positions", False):
+                    raise ValueError(
+                        "near search needs positional subindexes — "
+                        f"rebuild with positions=True ({by}={v} lacks "
+                        "positions)")
+            dterms = list(dict.fromkeys(parse_phrase(
+                query, stats0["tokenizer"])))
+            if len(dterms) <= 1:
+                vmode, terms, phrase = "and", dterms, None
+            else:
+                vmode, terms, phrase = ("phrase", sorted(dterms),
+                                        NearSpec(dterms, slop, ordered))
+        else:
+            # phrase positions guard applies per subindex
+            if mode == "phrase":
+                for v in self.values:
+                    _plan_terms(query, mode, self.stats_of[v])
+            vmode, terms, phrase = _plan_terms(query, mode, stats0)
+        if not terms:
+            return empty
+
+        def fetch_rows(ts):
+            out = []
+            for v in self.values:
+                for r in self._sub[v]._lookup(ts):
+                    out.append((v, r["term"], int(r["df"])))
+            return out
+
+        def wand_extra(v):
+            return {"postings_df": self._sub[v]._postings_df}
+
+        return _rank_all_partitions(
+            self.spark, self.root, by, self.values, self.stats_of,
+            vmode, terms, phrase, self.n_docs_g, self.avgdl_g, k,
+            with_doc_cols, doc_cols, schema, empty, fetch_rows,
+            wand_extra=wand_extra)

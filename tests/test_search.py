@@ -1038,3 +1038,62 @@ def test_boolean_all_partitions_matches_unpartitioned(
     assert key(search_boolean_all_partitions(
         spark, root, "window AND agg", 10**6,
         with_doc_cols=True).collect())  # non-empty sanity
+
+
+def test_partitioned_searcher_matches_cold(spark, tmp_path):
+    """r5: the warm PartitionedSearcher (per-subindex dict caches +
+    resolved scans, merged stats precomputed) equals the cold
+    cross-partition search on every mode and plans with zero Spark
+    jobs — a global query costs exactly ONE job without display
+    columns."""
+    import time as _time
+
+    from datastream_io_spark.operators.partitioned import (
+        PartitionedSearcher, build_partitioned_index,
+        search_all_partitions)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    root = str(tmp_path / "ps_root")
+    build_partitioned_index(spark, corpus, root, by="lang", n_splits=2,
+                            n_buckets=8, tokenizer="simple",
+                            positions=True)
+    ps = PartitionedSearcher(spark, root, dict_cache="driver")
+
+    def key(rows):
+        return [(r[0], r[1], round(r[2], 9)) for r in
+                ((x["lang"], x["doc_id"], x["score"]) for x in rows)]
+
+    cases = [("window agg", "and", {}), ("window agg", "or", {}),
+             ("window agg", "phrase", {}), ("scan", "or", {}),
+             ("window agg", "near", {"slop": 1, "ordered": True}),
+             ("zzznope window", "and", {})]
+    for q, mode, kw in cases:
+        a = ps.search(q, 10, mode, **kw).collect()
+        b = search_all_partitions(spark, root, q, 10, mode,
+                                  **kw).collect()
+        assert key(a) == key(b), (q, mode)
+    # doc-col output parity too
+    a = ps.search("window agg", 5, "and", with_doc_cols=True).collect()
+    b = search_all_partitions(spark, root, "window agg", 5, "and",
+                              with_doc_cols=True).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # one-job economy: planning is driver-side; the ranking collect
+    # (inside ps.search — the result is a k-row local relation) is the
+    # only Spark job. The caller's .collect() on the local relation is
+    # measured OUTSIDE the group.
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    sc.setJobGroup("ps_jobs", "warm global query")
+    df = ps.search("window agg", 10, "and")
+    _time.sleep(0.5)
+    n_jobs = len(st.getJobIdsForGroup("ps_jobs"))
+    sc.setJobGroup(None, None)
+    assert df.collect()
+    assert n_jobs <= 1, n_jobs
+
+    # routed per-value handle (partition-local statistics)
+    r = ps.route("de").search("window agg", 5, "and").collect()
+    assert r
+    with pytest.raises(KeyError):
+        ps.route("nosuchlang")
