@@ -865,3 +865,119 @@ class PartitionedSearcher:
             vmode, terms, phrase, self.n_docs_g, self.avgdl_g, k,
             with_doc_cols, doc_cols, schema, empty, fetch_rows,
             wand_extra=wand_extra)
+
+    def search_many(self, queries: dict[str, str], k: int = 10,
+                    mode: str = "and", slop: int = 2,
+                    ordered: bool = False) -> DataFrame:
+        """Batched global serving (r5): MANY cross-partition queries in
+        ONE Spark action — all planning (term parse, per-subindex dict
+        lookups, global df/idf merge) happens driver-side off the warm
+        caches, then each subindex runs the shared batched kernel
+        (:func:`_search_many_wand_tail` with the GLOBAL avgdl pushed
+        in) and a final per-query window takes the global top-k over
+        the value-tagged union. Each query's rows are identical to its
+        individual :meth:`search` answer (parity-tested). Returns
+        DF[query_id, <by>, doc_id, score] with per-query
+        (score desc, <by> asc, doc_id asc) top-k."""
+        import math
+
+        from pyspark.sql import Window
+
+        from datastream_io_spark.operators.indexed_search import (
+            NearSpec,
+            _plan_terms,
+            _search_many_wand_tail,
+        )
+        from datastream_io_spark.operators.relational_search import (
+            parse_phrase,
+        )
+
+        if mode not in ("and", "or", "phrase", "near"):
+            raise ValueError(
+                f"mode must be 'and', 'or', 'phrase' or 'near', "
+                f"got {mode!r}")
+        by = self.by
+        empty = self.spark.createDataFrame(
+            [], f"query_id string, {by} string, doc_id long, "
+                "score double")
+        if not self.values or not self.n_docs_g:
+            return empty
+        stats0 = self.stats_of[self.values[0]]
+
+        plans = {}  # qid -> (vmode, terms, phrase)
+        for qid, q in queries.items():
+            if mode == "near":
+                if slop < 0:
+                    raise ValueError(f"slop must be ≥ 0, got {slop}")
+                for v in self.values:
+                    if not self.stats_of[v].get("positions", False):
+                        raise ValueError(
+                            "near search needs positional subindexes "
+                            f"({by}={v} lacks positions)")
+                dterms = list(dict.fromkeys(parse_phrase(
+                    q, stats0["tokenizer"])))
+                if not dterms:
+                    continue
+                if len(dterms) <= 1:
+                    plans[qid] = ("and", dterms, None)
+                else:
+                    plans[qid] = ("phrase", sorted(dterms),
+                                  NearSpec(dterms, slop, ordered))
+            else:
+                if mode == "phrase":
+                    for v in self.values:
+                        _plan_terms(q, mode, self.stats_of[v])
+                vmode, terms, phrase = _plan_terms(q, mode, stats0)
+                if terms:
+                    plans[qid] = (vmode, terms, phrase)
+        if not plans:
+            return empty
+
+        all_terms = sorted({t for _, ts, _ in plans.values()
+                            for t in ts})
+        found_of = {}  # value -> {term}
+        df_g: dict[str, int] = {}
+        for v in self.values:
+            rows = self._sub[v]._lookup(all_terms)
+            found_of[v] = {r["term"] for r in rows}
+            for r in rows:
+                df_g[r["term"]] = df_g.get(r["term"], 0) + int(r["df"])
+        idf_g = {t: math.log1p((self.n_docs_g - df + 0.5) / (df + 0.5))
+                 for t, df in df_g.items()}
+
+        outs = []
+        for v in self.values:
+            plans_v = {}
+            for qid, (vmode, terms, phrase) in plans.items():
+                if vmode in ("and", "phrase"):
+                    # conjunctive: the whole corpus must have every
+                    # term, and this subindex must too
+                    if any(t not in df_g for t in terms) or                             any(t not in found_of[v] for t in terms):
+                        continue
+                    found = list(terms)
+                else:
+                    found = [t for t in terms if t in found_of[v]]
+                    if not found:
+                        continue
+                plans_v[qid] = ({t: idf_g[t] for t in found},
+                                len(terms), vmode, phrase)
+            if not plans_v:
+                continue
+            outs.append(_search_many_wand_tail(
+                self.spark, _subdir(self.root, by, v),
+                {**self.stats_of[v], "avgdl": self.avgdl_g},
+                plans_v, k,
+                postings_df=self._sub[v]._postings_df)
+                .withColumn(by, F.lit(v)))
+        if not outs:
+            return empty
+        union = outs[0]
+        for o in outs[1:]:
+            union = union.unionByName(o)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc(by), F.asc("doc_id"))
+        return (union.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k).drop("_rn")
+                .select("query_id", by, "doc_id", "score")
+                .orderBy("query_id", F.desc("score"), F.asc(by),
+                         F.asc("doc_id")))

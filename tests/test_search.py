@@ -1097,3 +1097,29 @@ def test_partitioned_searcher_matches_cold(spark, tmp_path):
     assert r
     with pytest.raises(KeyError):
         ps.route("nosuchlang")
+
+
+def test_partitioned_searcher_batched_matches_single(spark, tmp_path):
+    """r5: PartitionedSearcher.search_many — each query's rows in the
+    batch equal its individual global search, for every batched mode."""
+    from datastream_io_spark.operators.partitioned import (
+        PartitionedSearcher, build_partitioned_index)
+
+    corpus = documents_as_corpus(spark, SF0001)
+    root = str(tmp_path / "psm_root")
+    build_partitioned_index(spark, corpus, root, by="lang", n_splits=2,
+                            n_buckets=8, tokenizer="simple",
+                            positions=True)
+    ps = PartitionedSearcher(spark, root, dict_cache="driver")
+    qs = {"q1": "window agg", "q2": "scan", "q3": "merge sort window",
+          "q4": "zzznope window"}
+    for mode, kw in [("and", {}), ("or", {}), ("phrase", {}),
+                     ("near", {"slop": 2, "ordered": False})]:
+        got = {}
+        for r in ps.search_many(qs, 10, mode, **kw).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.lang, r.doc_id, round(r.score, 9)))
+        for qid, q in qs.items():
+            single = [(r["lang"], r["doc_id"], round(r["score"], 9))
+                      for r in ps.search(q, 10, mode, **kw).collect()]
+            assert got.get(qid, []) == single, (qid, mode)
