@@ -474,3 +474,44 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "doc_id long, score double")
     return global_topk(spark, index_dir, cand, k, with_doc_cols)
+
+
+def count_boolean(spark: SparkSession, index_dir: str,
+                  query: str) -> int:
+    """Exact number of live docs matching a boolean query (r5) —
+    membership only: each split's kernel evaluates the tree over the
+    doc streams (no tf/dl decode, no scoring) and emits ONE count row,
+    the boolean analog of
+    :func:`~datastream_io_spark.operators.indexed_search.match_count`
+    (the "about N results" display primitive). Wildcard/fuzzy leaves
+    and quoted/proximity phrases all apply."""
+    import pandas as pd
+
+    from datastream_io_spark.operators.indexed_search import (
+        _drop_dead,
+    )
+
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    tree, _positives, all_terms = plan_boolean(
+        query, stats, expander=cold_expander(spark, index_dir))
+    all_terms = {t for t in all_terms if t}
+    if not all_terms:
+        return 0
+    n_buckets = int(stats["n_buckets"])
+    buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
+    tomb, tomb_join = _tombstone_state(spark, index_dir)
+    prows = _with_tomb(
+        postings_rows(spark, index_dir, buckets, sorted(all_terms)),
+        tomb_join)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        blocks_of = {r.term: list(r.blocks) for r in pdf.itertuples()}
+        tv = _tv_from(pdf, tomb)
+        cand = _drop_dead(_eval_node(tree, blocks_of, {}), tv)
+        return pd.DataFrame({"n": pd.Series([int(cand.size)],
+                                            dtype="int64")})
+
+    rows = (prows.groupBy("split_id")
+            .applyInPandas(kernel, "n long").collect())
+    return int(sum(r["n"] for r in rows))

@@ -2298,3 +2298,78 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
         return cand
     return global_topk(spark, index_dir, cand, k, with_doc_cols,
                        docs_df=docs_df)
+
+
+def explain_query(spark: SparkSession, index_dir: str, query: str,
+                  mode: str = "and", max_dist: int = 1, slop: int = 2,
+                  ordered: bool = False,
+                  max_expansions: int = 128) -> dict:
+    """Lucene-style query explain (r5): the PLAN facts a query would
+    execute with — resolved mode and terms, per-term (df, idf, bucket),
+    bucket pruning ratio, expansion lists (wildcard/fuzzy/regex),
+    the boolean AST, corpus statistics, and the live tombstone count —
+    computed entirely from dict/stats reads (postings are never
+    touched), so it is safe to call against a production index at any
+    scale. Returns a plain dict (stable keys, JSON-serializable)."""
+    stats = read_stats(index_dir)
+    _check_format(stats, index_dir)
+    n_buckets = int(stats["n_buckets"])
+    out = {
+        "query": query,
+        "mode": mode,
+        "tokenizer": stats["tokenizer"],
+        "n_docs": int(stats["n_docs"]),
+        "avgdl": float(stats["avgdl"]),
+        "positions": bool(stats.get("positions", False)),
+        "n_buckets": n_buckets,
+    }
+    tomb, _ = _tombstone_state(spark, index_dir)
+    out["n_tombstones"] = int(tomb.value.size) if tomb is not None else 0
+
+    def term_rows(terms):
+        rows = lookup_terms(spark, index_dir, sorted(terms), n_buckets)
+        return [{"term": r["term"], "df": int(r["df"]),
+                 "idf": round(float(r["idf"]), 6),
+                 "bucket": int(r["term_bucket"])}
+                for r in sorted(rows, key=lambda r: r["term"])]
+
+    if mode == "boolean":
+        from datastream_io_spark.operators.boolean_search import (
+            cold_expander,
+            plan_boolean,
+        )
+
+        tree, positives, all_terms = plan_boolean(
+            query, stats,
+            expander=cold_expander(spark, index_dir, max_expansions))
+        out["tree"] = tree
+        out["positive_terms"] = sorted(positives)
+        rows = term_rows({t for t in all_terms if t})
+    elif mode in ("wildcard", "fuzzy", "regex"):
+        exp = _expansion_rows_cold(spark, index_dir, query, mode,
+                                   max_dist, max_expansions)
+        out["expansion"] = [r["term"] for r in exp]
+        out["expansion_capped"] = len(exp) >= max_expansions
+        rows = [{"term": r["term"], "df": int(r["df"]),
+                 "idf": round(float(r["idf"]), 6),
+                 "bucket": int(r["term_bucket"])} for r in exp]
+        out["resolved_mode"] = "or"
+    elif mode == "near":
+        seq = parse_phrase(query, stats["tokenizer"])
+        terms = list(dict.fromkeys(seq))
+        out["near"] = {"terms": terms, "slop": slop,
+                       "ordered": ordered,
+                       "window": (len(terms) - 1) + slop}
+        rows = term_rows(terms)
+    else:
+        vmode, terms, phrase = _plan_terms(query, mode, stats)
+        out["resolved_mode"] = vmode
+        if phrase is not None:
+            out["phrase"] = list(phrase)
+        rows = term_rows(terms)
+    out["terms"] = rows
+    buckets = sorted({r["bucket"] for r in rows})
+    out["buckets_touched"] = buckets
+    out["bucket_pruning"] = (
+        f"{len(buckets)}/{n_buckets} bucket dirs scanned")
+    return out

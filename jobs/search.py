@@ -48,6 +48,11 @@ def main(argv: list[str]) -> int:
     p.add_argument("--snippet-width", type=int, default=12)
     p.add_argument("--relational", action="store_true",
                    help="also run the index-free relational path (self-oracle)")
+    p.add_argument("--explain", action="store_true",
+                   help="print the query PLAN as JSON (resolved terms, "
+                        "df/idf, bucket pruning, expansions, boolean "
+                        "AST, tombstones) and exit — dict/stats reads "
+                        "only, postings never touched")
     p.add_argument("--partitioned", action="store_true",
                    help="--index is a PARTITIONED root (build_partitioned"
                         "_index layout). With --value, route to that "
@@ -67,6 +72,20 @@ def main(argv: list[str]) -> int:
 
     spark = SparkSession.builder.appName("search").getOrCreate()
     t0 = time.time()
+    if args.explain:
+        import json
+
+        from datastream_io_spark.operators.indexed_search import (
+            explain_query)
+
+        if args.partitioned:
+            p.error("--explain targets one index dir (point --index at "
+                    "a subindex for partitioned roots)")
+        plan = explain_query(spark, args.index, args.query, args.mode,
+                             max_dist=args.max_dist, slop=args.slop,
+                             ordered=args.ordered)
+        print(json.dumps(plan, indent=1, default=str))
+        return 0
     if args.partitioned:
         if args.snippets or args.facet is not None or args.mode not in (
                 "and", "or", "phrase", "near", "boolean"):

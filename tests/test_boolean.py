@@ -326,3 +326,17 @@ def test_boolean_proximity_phrase(spark, pos_index, doc_index):
     # positions guard covers proximity phrases
     with pytest.raises(ValueError, match="positional"):
         search_boolean(spark, doc_index, '"window agg"~2', 5)
+
+
+def test_count_boolean_matches_ranked(spark, pos_index):
+    """r5: count_boolean (membership-only, one int per split) equals
+    the ranked path's row count for every query shape."""
+    from datastream_io_spark.operators.boolean_search import (
+        count_boolean)
+
+    for q in ["window AND agg", "window AND (agg OR scan) NOT merge",
+              '"window agg"', '"window agg"~2 NOT scan', "agg AND s*",
+              "agg AND windoq~1", "zzznope AND agg"]:
+        n = count_boolean(spark, pos_index, q)
+        m = search_boolean(spark, pos_index, q, 10**6).count()
+        assert n == m, (q, n, m)

@@ -1123,3 +1123,41 @@ def test_partitioned_searcher_batched_matches_single(spark, tmp_path):
             single = [(r["lang"], r["doc_id"], round(r["score"], 9))
                       for r in ps.search(q, 10, mode, **kw).collect()]
             assert got.get(qid, []) == single, (qid, mode)
+
+
+def test_explain_query_reports_plan_facts(spark, pos_index):
+    """r5: explain_query returns plan facts consistent with the dict
+    and the executed plans — per-term df/idf, bucket pruning, expansion
+    lists, boolean AST, near window — without touching postings."""
+    from datastream_io_spark.operators.indexed_search import (
+        explain_query, search_regex)
+
+    dict_pdf = spark.read.parquet(f"{pos_index}/dict").toPandas() \
+        .set_index("term")
+    e = explain_query(spark, pos_index, "window agg", "and")
+    assert e["n_docs"] > 0 and e["n_buckets"] == 8
+    assert [t["term"] for t in e["terms"]] == ["agg", "window"]
+    for t in e["terms"]:
+        assert t["df"] == int(dict_pdf.loc[t["term"], "df"])
+        assert t["idf"] == round(float(dict_pdf.loc[t["term"], "idf"]), 6)
+    assert len(e["buckets_touched"]) <= 2
+
+    e2 = explain_query(spark, pos_index, "s.*a.*", "regex")
+    got_ids = {r.doc_id for r in
+               search_regex(spark, pos_index, "s.*a.*", 10**6).collect()}
+    assert set(e2["expansion"]) == {
+        t for t in dict_pdf.index if __import__("re").fullmatch(
+            "s.*a.*", t)}
+    assert e2["resolved_mode"] == "or" and got_ids
+
+    e3 = explain_query(spark, pos_index,
+                       "window AND (agg OR scan) NOT merge", "boolean")
+    assert e3["tree"][0] == "and"
+    assert set(e3["positive_terms"]) == {"window", "agg", "scan"}
+    assert {t["term"] for t in e3["terms"]} == {"window", "agg",
+                                                "scan", "merge"}
+
+    e4 = explain_query(spark, pos_index, "window agg", "near",
+                       slop=3, ordered=True)
+    assert e4["near"] == {"terms": ["window", "agg"], "slop": 3,
+                          "ordered": True, "window": 4}
