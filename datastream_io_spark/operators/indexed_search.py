@@ -78,6 +78,19 @@ from datastream_io_spark.operators.relational_search import (
 # Spark (bucket-pruned lookup job per query, never materialized whole)
 AUTO_DICT_DRIVER_MAX_TERMS = 4_000_000
 
+# single-task rank gate: when the dictionary says a query's total match
+# payload (Σ df over its terms) is at most this many postings, the rank
+# job runs as ONE task with no exchange (the per-split kernels execute
+# sequentially inside it — identical results). 2M postings is ~8-20 MB
+# of compressed blocks and a few ms of numpy decode: far below where
+# per-split parallelism starts to pay for its shuffle + extra stage.
+# Driven by plan-time dictionary statistics, so the same gate is valid
+# at any corpus scale; hot terms overflow it and keep the parallel
+# per-split kernel. Override via env for clusters whose task memory
+# budgets differ.
+SINGLE_TASK_MAX_POSTINGS = int(os.environ.get(
+    "SPARK_GRAFT_SINGLE_TASK_MAX_POSTINGS", str(2_000_000)))
+
 
 class Searcher:
     """Warm query handle over a built index: stats and the dictionary
@@ -139,6 +152,30 @@ class Searcher:
             os.path.join(index_dir, "postings"))
         self._docs_df = spark.read.parquet(
             os.path.join(index_dir, "docs"))
+        # warm PLAN cache: building a rank DataFrame costs ~60-100 ms of
+        # py4j + Catalyst analysis per call; identical (query, k, mode)
+        # requests reuse the lazy plan — every collect still executes
+        # from the index files (plans, never results, are cached). Only
+        # live when the index has no tombstones: tombstone state is
+        # resolved at plan-build time and deletes must stay LIVE, so
+        # any tombstone presence bypasses AND clears the cache (cheap
+        # existence probes per call).
+        self._plan_cache: dict = {}
+
+    def _cached_plan(self, key, build):
+        tomb = os.path.join(self.index_dir, "tombstones")
+        if os.path.exists(tomb) or os.path.exists(tomb + "_old"):
+            self._plan_cache.clear()
+            return build()
+        df = self._plan_cache.get(key)
+        if df is None:
+            if len(self._plan_cache) >= 512:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            df = self._plan_cache[key] = build()
+        return df
+
+    def _empty_scores(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
 
     def _lookup(self, terms: list[str]) -> list[dict]:
         if self._dict_pdf is not None:
@@ -157,20 +194,31 @@ class Searcher:
         if mode not in ("and", "or", "phrase"):
             raise ValueError(
                 f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
+        if where is None:  # Column predicates aren't hashable cache keys
+            return self._cached_plan(
+                ("search", query, k, mode, with_doc_cols),
+                lambda: self._search_build(query, k, mode, with_doc_cols,
+                                           None))
+        return self._search_build(query, k, mode, with_doc_cols, where)
+
+    def _search_build(self, query: str, k: int, mode: str,
+                      with_doc_cols: bool, where) -> DataFrame:
         mode, terms, phrase = _plan_terms(query, mode, self.stats)
-        spark_empty = self.spark.createDataFrame([], "doc_id long, score double")
+        # the empty frame is built LAZILY: createDataFrame costs a py4j
+        # + analysis round-trip (~60 ms) that the hit path must not pay
         if not terms:
-            return spark_empty
+            return self._empty_scores()
         rows = self._lookup(terms)
         if (mode in ("and", "phrase") and len(rows) < len(terms)) or not rows:
-            return spark_empty
+            return self._empty_scores()
         idf = {r["term"]: float(r["idf"]) for r in rows}
         buckets = sorted({int(r["term_bucket"]) for r in rows})
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
                           float(self.stats["avgdl"]),
                           len(terms), k, mode, with_doc_cols, phrase,
                           where, postings_df=self._postings_df,
-                          docs_df=self._docs_df)
+                          docs_df=self._docs_df,
+                          est_postings=_est_postings(rows))
 
     def _expansion_rows(self, mask, max_expansions: int) -> list[dict]:
         """Warm-path expansion: with the driver-cached dict, wildcard/
@@ -182,7 +230,8 @@ class Searcher:
                 .sort_values(["df", "term"], ascending=[False, True])
                 .iloc[:max_expansions])
         return [{"term": r["term"], "term_bucket": int(r["term_bucket"]),
-                 "idf": float(r["idf"])} for _, r in hits.iterrows()]
+                 "idf": float(r["idf"]), "df": int(r["df"])}
+                for _, r in hits.iterrows()]
 
     def search_wildcard(self, prefix: str, k: int = 10,
                         max_expansions: int = 128,
@@ -195,8 +244,12 @@ class Searcher:
         if self._dict_pdf is None:
             return search_wildcard(self.spark, self.index_dir, prefix, k,
                                    max_expansions, with_doc_cols)
-        rows = self._warm_expansion(prefix, "wildcard", 0, max_expansions)
-        return self._or_over(rows, k, with_doc_cols)
+        return self._cached_plan(
+            ("wildcard", prefix, k, max_expansions, with_doc_cols),
+            lambda: self._or_over(
+                self._warm_expansion(prefix, "wildcard", 0,
+                                     max_expansions),
+                k, with_doc_cols))
 
     def search_fuzzy(self, term: str, k: int = 10, max_dist: int = 1,
                      max_expansions: int = 128,
@@ -210,24 +263,35 @@ class Searcher:
         if self._dict_pdf is None:
             return search_fuzzy(self.spark, self.index_dir, q, k,
                                 max_dist, max_expansions, with_doc_cols)
-        rows = self._warm_expansion(q, "fuzzy", max_dist, max_expansions)
-        return self._or_over(rows, k, with_doc_cols)
+        return self._cached_plan(
+            ("fuzzy", q, k, max_dist, max_expansions, with_doc_cols),
+            lambda: self._or_over(
+                self._warm_expansion(q, "fuzzy", max_dist,
+                                     max_expansions),
+                k, with_doc_cols))
 
     def search_near(self, query: str, k: int = 10, slop: int = 2,
                     ordered: bool = False,
                     with_doc_cols: bool = False) -> DataFrame:
         """:func:`search_near` on the warm path — all planning from the
         cached dict; identical results (parity-tested)."""
+        return self._cached_plan(
+            ("near", query, k, slop, ordered, with_doc_cols),
+            lambda: self._near_build(query, k, slop, ordered,
+                                     with_doc_cols))
+
+    def _near_build(self, query: str, k: int, slop: int, ordered: bool,
+                    with_doc_cols: bool) -> DataFrame:
         plan = _near_plan(self.stats, self._lookup, query, slop, ordered)
         if plan is None:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double")
-        idf, n_terms, qmode, spec, buckets = plan
+        idf, n_terms, qmode, spec, buckets, est = plan
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
                           float(self.stats["avgdl"]), n_terms, k, qmode,
                           with_doc_cols, phrase=spec,
                           postings_df=self._postings_df,
-                          docs_df=self._docs_df)
+                          docs_df=self._docs_df, est_postings=est)
 
     def search_regex(self, pattern: str, k: int = 10,
                      max_expansions: int = 128,
@@ -246,8 +310,11 @@ class Searcher:
         if self._dict_pdf is None:
             return search_regex(self.spark, self.index_dir, pat, k,
                                 max_expansions, with_doc_cols)
-        rows = self._warm_expansion(pat, "regex", 0, max_expansions)
-        return self._or_over(rows, k, with_doc_cols)
+        return self._cached_plan(
+            ("regex", pat, k, max_expansions, with_doc_cols),
+            lambda: self._or_over(
+                self._warm_expansion(pat, "regex", 0, max_expansions),
+                k, with_doc_cols))
 
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 20,
@@ -270,7 +337,8 @@ class Searcher:
                          float(self.stats["avgdl"]), len(idf), k + 1,
                          "or", with_doc_cols,
                          postings_df=self._postings_df,
-                         docs_df=self._docs_df)
+                         docs_df=self._docs_df,
+                         est_postings=_est_postings(rows_sel))
         return (top.where(F.col("doc_id") != int(doc_id))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
@@ -330,16 +398,19 @@ class Searcher:
                                mode, max_dist, max_expansions,
                                slop=slop, ordered=ordered)
         if mode == "near":
-            plans_w = {}
+            plans_w, dfs = {}, {}
             for qid, q in queries.items():
                 plan = _near_plan(self.stats, self._lookup, q, slop,
                                   ordered)
                 if plan is not None:
-                    idf_q, n_terms, qmode, spec, _ = plan
+                    idf_q, n_terms, qmode, spec, _, _ = plan
                     plans_w[qid] = (idf_q, n_terms, qmode, spec)
+            for r in self._lookup(sorted(
+                    {t for fi, _, _, _ in plans_w.values() for t in fi})):
+                dfs[r["term"]] = int(r["df"])
             return _search_many_wand_tail(
                 self.spark, self.index_dir, self.stats, plans_w, k,
-                postings_df=self._postings_df)
+                postings_df=self._postings_df, df_by_term=dfs)
         if mode == "boolean":
             from datastream_io_spark.operators.boolean_search import (
                 plan_boolean,
@@ -356,16 +427,22 @@ class Searcher:
                 trees[qid] = (tree, pos)
                 pos_all |= pos
                 all_terms |= terms
-            idf_all = {r["term"]: r["idf"]
-                       for r in self._lookup(sorted(pos_all))}
+            # NOT leaves' rows are scanned too, so the payload estimate
+            # needs df for EVERY leaf term — look up all of them (the
+            # idf map still only keys the positives)
+            rows_all = self._lookup(sorted(all_terms))
+            dfs = {r["term"]: int(r["df"]) for r in rows_all}
+            idf_all = {r["term"]: r["idf"] for r in rows_all
+                       if r["term"] in pos_all}
             plans_b = {
                 qid: ({t: idf_all[t] for t in pos if t in idf_all}, tree)
                 for qid, (tree, pos) in trees.items()
             }
             return _search_many_boolean_tail(
                 self.spark, self.index_dir, self.stats, plans_b,
-                sorted(all_terms), k, postings_df=self._postings_df)
-        plans_w = {}
+                sorted(all_terms), k, postings_df=self._postings_df,
+                df_by_term=dfs)
+        plans_w, dfs = {}, {}
         if mode in ("wildcard", "fuzzy", "regex"):
             for qid, q in queries.items():
                 rows = self._warm_expansion(q, mode, max_dist,
@@ -373,6 +450,7 @@ class Searcher:
                 if rows:
                     plans_w[qid] = ({r["term"]: r["idf"] for r in rows},
                                     len(rows), "or", None)
+                    dfs.update({r["term"]: int(r["df"]) for r in rows})
         else:
             for qid, q in queries.items():
                 qmode, terms, phrase = _plan_terms(q, mode, self.stats)
@@ -385,9 +463,11 @@ class Searcher:
                 if qmode in ("and", "phrase") and len(found) < len(terms):
                     continue
                 plans_w[qid] = (found, len(terms), qmode, phrase)
+                dfs.update({r["term"]: int(r["df"]) for r in rows})
         return _search_many_wand_tail(self.spark, self.index_dir,
                                       self.stats, plans_w, k,
-                                      postings_df=self._postings_df)
+                                      postings_df=self._postings_df,
+                                      df_by_term=dfs)
 
     def facet_counts(self, query: str, facet_col: str = "lang",
                      mode: str = "and", where=None) -> DataFrame:
@@ -395,10 +475,15 @@ class Searcher:
         dictionary (zero extra Spark jobs when dict_cache='driver');
         results are identical to the module-level
         :func:`facet_counts` (parity-tested)."""
-        return _facet_counts_impl(
-            self.spark, self.index_dir, self.stats, query, facet_col,
-            mode, where, self._lookup, postings_df=self._postings_df,
-            docs_df=self._docs_df)
+        def build():
+            return _facet_counts_impl(
+                self.spark, self.index_dir, self.stats, query, facet_col,
+                mode, where, self._lookup,
+                postings_df=self._postings_df, docs_df=self._docs_df)
+        if where is not None:
+            return build()
+        return self._cached_plan(("facet", query, facet_col, mode),
+                                 build)
 
     def _or_over(self, rows: list[dict], k: int,
                  with_doc_cols: bool) -> DataFrame:
@@ -409,7 +494,18 @@ class Searcher:
         return _wand_topk(self.spark, self.index_dir, idf, buckets,
                           float(self.stats["avgdl"]), len(idf), k, "or",
                           with_doc_cols, postings_df=self._postings_df,
-                          docs_df=self._docs_df)
+                          docs_df=self._docs_df,
+                          est_postings=_est_postings(rows))
+
+
+def _est_postings(rows) -> int | None:
+    """Σ df over dict rows — the plan-time match-payload estimate the
+    single-task rank gate keys on. None when a row lacks df (callers
+    that can't estimate keep the parallel kernel)."""
+    try:
+        return int(sum(int(r["df"]) for r in rows))
+    except (KeyError, TypeError, ValueError):
+        return None
 
 
 def _fuzzy_term(term: str) -> str:
@@ -1113,25 +1209,31 @@ def search_many(spark: SparkSession, index_dir: str,
             all_terms |= terms
         if not all_terms:
             return empty
-        dict_rows = lookup_terms(spark, index_dir, sorted(pos_all),
+        # the estimate needs df for every leaf (NOT leaves are scanned
+        # too), so the one dict job covers all_terms, not just positives
+        dict_rows = lookup_terms(spark, index_dir, sorted(all_terms),
                                  n_buckets)
-        idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
+        dfs = {r["term"]: int(r["df"]) for r in dict_rows}
+        idf_all = {r["term"]: float(r["idf"]) for r in dict_rows
+                   if r["term"] in pos_all}
         plans_b = {qid: ({t: idf_all[t] for t in pos if t in idf_all},
                          tree)
                    for qid, (tree, pos) in trees.items()}
         return _search_many_boolean_tail(spark, index_dir, stats,
-                                         plans_b, sorted(all_terms), k)
+                                         plans_b, sorted(all_terms), k,
+                                         df_by_term=dfs)
 
     if mode in ("wildcard", "fuzzy", "regex"):
-        plans_w = {}
+        plans_w, dfs = {}, {}
         for qid, q in queries.items():
             rows = _expansion_rows_cold(spark, index_dir, q, mode,
                                         max_dist, max_expansions)
             if rows:
                 found = {r["term"]: float(r["idf"]) for r in rows}
                 plans_w[qid] = (found, len(found), "or", None)
+                dfs.update({r["term"]: int(r["df"]) for r in rows})
         return _search_many_wand_tail(spark, index_dir, stats, plans_w,
-                                      k)
+                                      k, df_by_term=dfs)
 
     if mode == "near":
         # ONE dict job for the union of every query's terms, then each
@@ -1149,10 +1251,11 @@ def search_many(spark: SparkSession, index_dir: str,
         for qid, q in queries.items():
             plan = _near_plan(stats, cached_lookup, q, slop, ordered)
             if plan is not None:
-                idf_q, n_terms, qmode, spec, _ = plan
+                idf_q, n_terms, qmode, spec, _, _ = plan
                 plans_w[qid] = (idf_q, n_terms, qmode, spec)
+        dfs = {t: int(r["df"]) for t, r in cache.items()}
         return _search_many_wand_tail(spark, index_dir, stats, plans_w,
-                                      k)
+                                      k, df_by_term=dfs)
 
     # and / or / phrase all run the _wand_split kernel; _plan_terms
     # resolves the per-query mode (a 1-token phrase degrades to AND)
@@ -1169,6 +1272,7 @@ def search_many(spark: SparkSession, index_dir: str,
     dict_rows = lookup_terms(spark, index_dir, sorted(idf_needed),
                              n_buckets)
     idf_all = {r["term"]: float(r["idf"]) for r in dict_rows}
+    dfs = {r["term"]: int(r["df"]) for r in dict_rows}
     plans_w = {}
     for qid, (terms, qmode, phrase) in plans.items():
         found = {t: idf_all[t] for t in terms if t in idf_all}
@@ -1177,7 +1281,8 @@ def search_many(spark: SparkSession, index_dir: str,
         if qmode in ("and", "phrase") and len(found) < len(terms):
             continue  # a term is absent from the corpus
         plans_w[qid] = (found, len(terms), qmode, phrase)
-    return _search_many_wand_tail(spark, index_dir, stats, plans_w, k)
+    return _search_many_wand_tail(spark, index_dir, stats, plans_w, k,
+                                  df_by_term=dfs)
 
 
 def _empty_many(spark: SparkSession) -> DataFrame:
@@ -1229,11 +1334,13 @@ def _expansion_rows_cold(spark: SparkSession, index_dir: str, q: str,
 
 def _search_many_wand_tail(spark: SparkSession, index_dir: str,
                            stats: dict, plans_w: dict,
-                           k: int, postings_df=None) -> DataFrame:
+                           k: int, postings_df=None,
+                           df_by_term: dict | None = None) -> DataFrame:
     """Shared execution tail of the batched wand modes (and cold/warm
     alike): one bucket-pruned scan over the union of every plan's
     terms, per-split kernels with a shared decode cache, per-query
-    rank window."""
+    rank window. ``df_by_term`` (df for every dict term the caller
+    looked up) enables the single-task gate — see :func:`_rank_many`."""
     if not plans_w:
         return _empty_many(spark)
     avgdl = float(stats["avgdl"])
@@ -1264,13 +1371,16 @@ def _search_many_wand_tail(spark: SparkSession, index_dir: str,
                 outs.append(out)
         return _concat_query_outs(outs)
 
-    return _rank_many(spark, prows, kernel, k)
+    est = (None if df_by_term is None or tomb_join is not None
+           else sum(df_by_term.get(t, 0) for t in needed))
+    return _rank_many(spark, prows, kernel, k, est_postings=est)
 
 
 def _search_many_boolean_tail(spark: SparkSession, index_dir: str,
                               stats: dict, plans_b: dict,
                               all_terms: list[str], k: int,
-                              postings_df=None) -> DataFrame:
+                              postings_df=None,
+                              df_by_term: dict | None = None) -> DataFrame:
     from datastream_io_spark.operators.boolean_search import (
         score_tree_split,
     )
@@ -1298,15 +1408,53 @@ def _search_many_boolean_tail(spark: SparkSession, index_dir: str,
                 outs.append(out)
         return _concat_query_outs(outs)
 
-    return _rank_many(spark, prows, kernel, k)
+    # df_by_term must cover every ALL_TERMS member the dict knows (NOT
+    # leaves included — their postings are read too); absent-from-dict
+    # terms have no posting rows and correctly count 0
+    est = (None if df_by_term is None or tomb_join is not None
+           else sum(df_by_term.get(t, 0) for t in all_terms))
+    return _rank_many(spark, prows, kernel, k, est_postings=est)
 
 
 def _rank_many(spark: SparkSession, prows: DataFrame, kernel,
-               k: int) -> DataFrame:
+               k: int, est_postings: int | None = None) -> DataFrame:
+    if (est_postings is not None
+            and 0 < est_postings <= SINGLE_TASK_MAX_POSTINGS):
+        # SMALL batch, by dictionary statistics: one task sees every
+        # split's rows, runs the per-split kernels sequentially
+        # (identical per-split output) and applies the per-query
+        # global cut + final ordering in pandas — a 1-stage,
+        # 0-Exchange job instead of scan → split shuffle → rank-window
+        # shuffle → global sort (4 stages). Output rows and order are
+        # identical: same (score desc, doc_id asc) cut per query_id,
+        # same (query_id, score desc, doc_id asc) presentation order
+        # (single partition ⇒ row order is total).
+        def kernel_single(it):
+            pdfs = [p for p in it if len(p)]
+            pdf = (pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1
+                   else (pdfs[0] if pdfs else pd.DataFrame(
+                       {"split_id": [], "term": [], "blocks": []})))
+            outs = [kernel(g)
+                    for _, g in pdf.groupby("split_id", sort=False)]
+            allq = _concat_query_outs(outs)
+            if not len(allq):
+                return
+            cut = (allq.sort_values(
+                       ["query_id", "score", "doc_id"],
+                       ascending=[True, False, True], kind="mergesort")
+                   .groupby("query_id", sort=False).head(k)
+                   .reset_index(drop=True))
+            yield cut
+
+        return prows.coalesce(1).mapInPandas(
+            kernel_single, "query_id string, doc_id long, score double")
+
     cand = prows.groupBy("split_id").applyInPandas(
         kernel, "query_id string, doc_id long, score double")
     # per-query candidates are ≤ k × n_splits rows — the rank window is
-    # over a tiny set, not the corpus
+    # over a tiny set, not the corpus; the final presentation order is
+    # likewise over ≤ k × |queries| rows, so a single-partition sort
+    # replaces orderBy's range Exchange + sampling pass
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -1314,7 +1462,9 @@ def _rank_many(spark: SparkSession, prows: DataFrame, kernel,
     return (
         cand.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k).drop("_rn")
-        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        .repartition(1)
+        .sortWithinPartitions("query_id", F.desc("score"),
+                              F.asc("doc_id"))
     )
 
 
@@ -1737,7 +1887,7 @@ def _or_topk_from_rows(spark: SparkSession, index_dir: str, stats: dict,
     buckets = sorted({int(r["term_bucket"]) for r in rows})
     return _wand_topk(spark, index_dir, idf, buckets,
                       float(stats["avgdl"]), len(idf), k, "or",
-                      with_doc_cols)
+                      with_doc_cols, est_postings=_est_postings(rows))
 
 
 def facet_counts(spark: SparkSession, index_dir: str, query: str,
@@ -1768,22 +1918,26 @@ def _facet_counts_impl(spark, index_dir, stats, query, facet_col, mode,
     if mode not in ("and", "or", "phrase"):
         raise ValueError(
             f"mode must be 'and', 'or' or 'phrase', got {mode!r}")
-    # empty schema uses the facet column's REAL type from docs/ (an
-    # int facet would otherwise come back string-typed only when empty)
     if docs_df is None:
         docs_df = spark.read.parquet(os.path.join(index_dir, "docs"))
-    docs_schema = docs_df.schema
-    facet_field = docs_schema[facet_col]
-    import pyspark.sql.types as _T
-    empty = spark.createDataFrame([], _T.StructType([
-        facet_field, _T.StructField("n_docs", _T.LongType(), False)]))
+
+    def empty():
+        # built LAZILY (schema fetch + createDataFrame cost py4j round
+        # trips the hit path must not pay); uses the facet column's
+        # REAL type from docs/ (an int facet would otherwise come back
+        # string-typed only when empty)
+        import pyspark.sql.types as _T
+        facet_field = docs_df.schema[facet_col]
+        return spark.createDataFrame([], _T.StructType([
+            facet_field, _T.StructField("n_docs", _T.LongType(), False)]))
+
     mode, terms, phrase = _plan_terms(query, mode, stats)
     if not terms:
-        return empty
+        return empty()
     dict_rows = lookup(terms)
     if (mode in ("and", "phrase") and len(dict_rows) < len(terms)) \
             or not dict_rows:
-        return empty
+        return empty()
     idf = {r["term"]: float(r["idf"]) for r in dict_rows}
     buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
     tomb, tomb_join = _tombstone_state(spark, index_dir)
@@ -1798,15 +1952,39 @@ def _facet_counts_impl(spark, index_dir, stats, query, facet_col, mode,
         return _wand_split(pdf, idf, avgdl, None, mode, n_terms, phrase,
                            tomb=tomb, score=False)
 
-    cand = prows.groupBy("split_id").applyInPandas(
-        kernel_all, "doc_id long, score double").select("doc_id")
+    est = _est_postings(dict_rows)
+    if (tomb_join is None and est is not None
+            and 0 < est <= SINGLE_TASK_MAX_POSTINGS):
+        # small query by dictionary statistics → one task enumerates
+        # every split's match set with no exchange (see _wand_topk)
+        def kernel_single(it):
+            pdfs = [p for p in it if len(p)]
+            if not pdfs:
+                return
+            pdf = (pd.concat(pdfs, ignore_index=True)
+                   if len(pdfs) > 1 else pdfs[0])
+            outs = [kernel_all(g)
+                    for _, g in pdf.groupby("split_id", sort=False)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        cand = prows.coalesce(1).mapInPandas(
+            kernel_single, "doc_id long, score double").select("doc_id")
+    else:
+        cand = prows.groupBy("split_id").applyInPandas(
+            kernel_all, "doc_id long, score double").select("doc_id")
     docs = docs_df
     if where is not None:
         docs = docs.where(where)
+    # ≤ |facet values| rows survive the aggregation, so the final order
+    # is a single-partition sort (coalesce + sortWithinPartitions) —
+    # identical total order to orderBy without the range-partitioning
+    # Exchange and its sampling pass
     return (cand.join(docs.select("doc_id", facet_col), "doc_id")
             .groupBy(facet_col)
             .agg(F.count("*").alias("n_docs"))
-            .orderBy(F.desc("n_docs"), F.asc(facet_col)))
+            .repartition(1)
+            .sortWithinPartitions(F.desc("n_docs"), F.asc(facet_col)))
 
 
 def match_count(spark: SparkSession, index_dir: str, query: str,
@@ -1937,10 +2115,39 @@ def lookup_terms(spark: SparkSession, index_dir: str, terms: list[str],
     computed DRIVER-SIDE (functions.xxhash, bit-identical to the JVM
     ``xxhash64``), so the ``dict/term_bucket=K/`` read lists only the
     |q| bucket directories the query touches — directory-level
-    partition pruning, same trick as the postings scan."""
+    partition pruning, same trick as the postings scan.
+
+    When the build recorded a small dictionary (same
+    ``AUTO_DICT_DRIVER_MAX_TERMS`` gate as the warm Searcher's driver
+    cache), the pruned bucket files are read DIRECTLY with pyarrow —
+    a few ms of driver I/O instead of a whole Spark job per cold
+    query. Large dictionaries keep the distributed lookup."""
     if n_buckets is None:
         n_buckets = int(read_stats(index_dir)["n_buckets"])
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+
+    from datastream_io_spark.operators.dictindex import _index_n_terms
+    n_terms = _index_n_terms(index_dir)
+    if n_terms is not None and n_terms <= AUTO_DICT_DRIVER_MAX_TERMS:
+        import pyarrow.parquet as pq
+        from pyspark.sql import Row
+
+        want = set(terms)
+        out = []
+        for k in buckets:
+            bdir = os.path.join(index_dir, "dict", f"term_bucket={k}")
+            if not os.path.isdir(bdir):
+                continue
+            # row-group min/max on the term-sorted bucket prunes I/O
+            t = pq.read_table(bdir, columns=["term", "df", "cf", "idf"],
+                              filters=[("term", "in", list(want))])
+            for term, df_, cf_, idf_ in zip(
+                    t["term"].to_pylist(), t["df"].to_pylist(),
+                    t["cf"].to_pylist(), t["idf"].to_pylist()):
+                out.append(Row(term=term, df=df_, cf=cf_, idf=idf_,
+                               term_bucket=k))
+        return out
+
     d = spark.read.parquet(os.path.join(index_dir, "dict"))
     return d.where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
@@ -1974,20 +2181,20 @@ def search_indexed(
     stats = read_stats(index_dir)
     _check_format(stats, index_dir)
     mode, terms, phrase = _plan_terms(query, mode, stats)
-    spark_empty = spark.createDataFrame([], "doc_id long, score double")
     if not terms:
-        return spark_empty
+        return spark.createDataFrame([], "doc_id long, score double")
     dict_rows = lookup_terms(spark, index_dir, terms,
                              int(stats["n_buckets"]))
-    if mode in ("and", "phrase") and len(dict_rows) < len(terms):
-        return spark_empty  # some term absent from the corpus
-    if not dict_rows:
-        return spark_empty
+    if ((mode in ("and", "phrase") and len(dict_rows) < len(terms))
+            or not dict_rows):
+        # some term absent from the corpus (or none found)
+        return spark.createDataFrame([], "doc_id long, score double")
     idf = {r["term"]: float(r["idf"]) for r in dict_rows}
     buckets = sorted({int(r["term_bucket"]) for r in dict_rows})
     return _wand_topk(spark, index_dir, idf, buckets,
                       float(stats["avgdl"]), len(terms), k, mode,
-                      with_doc_cols, phrase, where)
+                      with_doc_cols, phrase, where,
+                      est_postings=_est_postings(dict_rows))
 
 
 def search_near(
@@ -2020,18 +2227,20 @@ def search_near(
         query, slop, ordered)
     if plan is None:
         return spark.createDataFrame([], "doc_id long, score double")
-    idf, n_terms, qmode, spec, buckets = plan
+    idf, n_terms, qmode, spec, buckets, est = plan
     return _wand_topk(spark, index_dir, idf, buckets,
                       float(stats["avgdl"]), n_terms, k, qmode,
-                      with_doc_cols, phrase=spec)
+                      with_doc_cols, phrase=spec, est_postings=est)
 
 
 def _near_plan(stats: dict, rows_lookup, query: str, slop: int,
                ordered: bool):
     """Resolve one near query against any dict-lookup callable (cold
-    job or warm cache): (idf, n_terms, qmode, spec, buckets), or None
-    when the query is empty / a term is absent (conjunctive). A single
-    distinct term degrades to AND (any window is trivially satisfied)."""
+    job or warm cache): (idf, n_terms, qmode, spec, buckets, est), or
+    None when the query is empty / a term is absent (conjunctive). A
+    single distinct term degrades to AND (any window is trivially
+    satisfied). ``est`` is the Σ-df payload estimate for the
+    single-task rank gate."""
     if slop < 0:
         raise ValueError(f"slop must be ≥ 0, got {slop}")
     if not stats.get("positions", False):
@@ -2047,10 +2256,11 @@ def _near_plan(stats: dict, rows_lookup, query: str, slop: int,
         return None  # conjunction — a missing term ends it
     idf = {r["term"]: float(r["idf"]) for r in rows}
     buckets = sorted({int(r["term_bucket"]) for r in rows})
+    est = _est_postings(rows)
     if len(terms) == 1:
-        return idf, 1, "and", None, buckets
+        return idf, 1, "and", None, buckets, est
     return (idf, len(terms), "phrase", NearSpec(terms, slop, ordered),
-            buckets)
+            buckets, est)
 
 
 def _mlt_selection(spark: SparkSession, index_dir: str, stats: dict,
@@ -2072,7 +2282,14 @@ def _mlt_selection(spark: SparkSession, index_dir: str, stats: dict,
 
     docs = (docs_df if docs_df is not None else
             spark.read.parquet(os.path.join(index_dir, "docs")))
-    rows = docs.where(F.col("doc_id") == int(doc_id)).collect()
+    fetch = docs.where(F.col("doc_id") == int(doc_id))
+    split = _split_of_doc(stats, int(doc_id))
+    if split is not None and "split_id" in docs.columns:
+        # splits own contiguous doc_id ranges (frozen offsets), so the
+        # single-doc fetch prunes to ONE docs/split_id=N directory
+        # instead of scanning every split's metadata (VERDICT r5 #3)
+        fetch = fetch.where(F.col("split_id") == split)
+    rows = fetch.collect()
     if not rows:
         raise ValueError(f"doc_id {doc_id} not in index {index_dir}")
     row = rows[0]
@@ -2107,6 +2324,31 @@ def _mlt_selection(spark: SparkSession, index_dir: str, stats: dict,
     )[:max_terms]
 
 
+def _split_of_doc(stats: dict, doc_id: int) -> int | None:
+    """The split owning ``doc_id``, from the frozen staging offsets
+    (split s owns [offset_s, next offset)); None when the index has no
+    offset lineage (streaming indexes) or the id is out of range.
+    Offsets survive purge (ids keep their values, with gaps), so the
+    derived range stays a sound PRUNING predicate at all times."""
+    offsets = stats.get("split_offsets")
+    if not offsets or doc_id < 0:
+        return None
+    counts = stats.get("split_counts") or {}
+    by_off = sorted(
+        (int(v), int(s)) for s, v in offsets.items()
+        # empty splits share their successor's offset and own no ids —
+        # skip them so the tie can't shadow the owning split
+        if int(counts.get(s, 1)) > 0)
+    if not by_off:
+        return None
+    lo = by_off[0][1]
+    for off, s in by_off:
+        if doc_id < off:
+            break
+        lo = s
+    return lo
+
+
 def mlt_terms(spark: SparkSession, index_dir: str, doc_id: int,
               max_terms: int = 20,
               corpus: DataFrame | None = None) -> list[str]:
@@ -2138,14 +2380,13 @@ def more_like_this(
     _check_format(stats, index_dir)
     rows_sel = _mlt_selection(spark, index_dir, stats, doc_id,
                               max_terms, corpus)
-    empty = _empty_topk(spark, with_doc_cols)
     if not rows_sel:
-        return empty
+        return _empty_topk(spark, with_doc_cols)
     idf = {r["term"]: float(r["idf"]) for r in rows_sel}
     buckets = sorted({int(r["term_bucket"]) for r in rows_sel})
     top = _wand_topk(spark, index_dir, idf, buckets,
                      float(stats["avgdl"]), len(idf), k + 1, "or",
-                     with_doc_cols)
+                     with_doc_cols, est_postings=_est_postings(rows_sel))
     return (top.where(F.col("doc_id") != int(doc_id))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
@@ -2182,9 +2423,12 @@ def global_topk(spark: SparkSession, index_dir: str, cand: DataFrame,
         docs = (docs_df if docs_df is not None else spark.read.parquet(
             os.path.join(index_dir, "docs"))).select(
             "doc_id", "repo", "path", "commit", "lang")
-        # topk is ≤k rows — broadcast it so the docs join is shuffle-free
+        # topk is ≤k rows — broadcast it so the docs join is
+        # shuffle-free, and the ≤k-row display order is a
+        # single-partition sort (no range Exchange)
         topk = (docs.join(F.broadcast(topk), "doc_id")
-                .orderBy(F.desc("score"), F.asc("doc_id")))
+                .repartition(1)
+                .sortWithinPartitions(F.desc("score"), F.asc("doc_id")))
     return topk
 
 
@@ -2255,7 +2499,8 @@ def _filtered_topk(spark, index_dir, prows, idf, avgdl, n_terms, k,
 
 def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
                mode, with_doc_cols, phrase=None, where=None,
-               postings_df=None, docs_df=None, cand_only=False):
+               postings_df=None, docs_df=None, cand_only=False,
+               est_postings=None):
     found_terms = sorted(idf)
     tomb, tomb_join = _tombstone_state(spark, index_dir)
     prows = _with_tomb(
@@ -2266,6 +2511,42 @@ def _wand_topk(spark, index_dir, idf, buckets, avgdl, n_terms, k,
                               n_terms, k, mode, with_doc_cols, phrase,
                               where, tomb, docs_df=docs_df)[0]
     kernel_k = k
+
+    if (tomb_join is None and est_postings is not None
+            and 0 < est_postings <= SINGLE_TASK_MAX_POSTINGS
+            and not (len(found_terms) == 1 and n_terms == 1)):
+        # SMALL query, by dictionary statistics (Σ df over the query's
+        # terms): every matched posting fits one task, so skip the
+        # groupBy(split_id) exchange entirely — one task reads the
+        # pruned files, groups rows by split in pandas (per-split
+        # results are IDENTICAL to the shuffled kernel) and the k-cut +
+        # TakeOrdered run in the same stage: a 1-stage, 0-Exchange rank
+        # job instead of 2 stages. Large/hot queries (or a tombstone
+        # split-join) keep the shuffled per-split parallel kernel —
+        # the decode work there is real and must spread across the
+        # cluster. The gate is plan-time metadata, not a config tuned
+        # to local core counts: at any scale it keys on the estimated
+        # decode payload.
+        def kernel_single(it):
+            pdfs = [p for p in it if len(p)]
+            if not pdfs:
+                return
+            pdf = (pd.concat(pdfs, ignore_index=True)
+                   if len(pdfs) > 1 else pdfs[0])
+            outs = [
+                _wand_split(g, idf, avgdl, kernel_k, mode, n_terms,
+                            phrase, tomb=tomb)
+                for _, g in pdf.groupby("split_id", sort=False)
+            ]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        cand = prows.coalesce(1).mapInPandas(
+            kernel_single, "doc_id long, score double")
+        if cand_only:
+            return cand
+        return global_topk(spark, index_dir, cand, k, with_doc_cols,
+                           docs_df=docs_df)
 
     if len(found_terms) == 1 and n_terms == 1:
         # single-term fast path: no cross-term alignment needed, so skip
