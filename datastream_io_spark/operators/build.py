@@ -375,41 +375,39 @@ def stage_corpus(
             "stage_commit, or remove the plan to restage monolithically")
     os.makedirs(index_dir, exist_ok=True)
 
-    # deterministic survivor per doc key: dropDuplicates keeps an
-    # ARBITRARY row, so duplicate keys with different content would make
-    # the staged bytes (hence the whole index) vary across parallelism —
-    # pick max(content_sha256) instead (any total order works)
-    hashed = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-    # lang joins the tie-break: same-content duplicates with different
-    # metadata must also pick one deterministic survivor
-    w_dedup = Window.partitionBy("repo", "path", "commit").orderBy(
-        F.desc("content_sha256"), F.desc("lang"))
-    deduped = (
-        hashed.withColumn("_rn", F.row_number().over(w_dedup))
-        .where(F.col("_rn") == 1).drop("_rn")
-    )
-    with_split = _with_split(deduped, n_splits)
-    counts = {
-        int(r["split_id"]): int(r["n"])
-        for r in with_split.groupBy("split_id").agg(F.count("*").alias("n")).collect()
-    }
+    # ONE job, ONE exchange (r6): the old shape ran a count job (full
+    # dedupe + agg) and then a write job with TWO content shuffles
+    # (window by doc key for the dedupe, window by split for the ids).
+    # All duplicates of a key share its split (split = f(key)), so both
+    # windows collapse onto ONE split_id-partitioned sort: survivors
+    # are the first row of each key group (lag), their dense in-split
+    # rank is a running sum of group starts — identical survivor
+    # (max-sha256, max-lang tie-break) and identical id order (key asc)
+    # to the two-window form. Ids are written SPLIT-LOCAL (0-based per
+    # split); split counts come from the written parquet footers
+    # (driver-side, no second pass) and readers add the frozen offset
+    # (staging.json: staged_local_ids) — so no pre-count job is needed
+    # to make ids global.
+    staged = _staged_local_df(corpus, n_splits)
+    (staged.write.mode("overwrite").partitionBy("split_id")
+     .parquet(os.path.join(index_dir, "staged_corpus")))
+
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    sc_dir = os.path.join(index_dir, "staged_corpus")
+    for d in os.listdir(sc_dir):
+        if not d.startswith("split_id="):
+            continue
+        s_val = int(d.split("=")[1])
+        counts[s_val] = sum(
+            pq.ParquetFile(os.path.join(sc_dir, d, f)).metadata.num_rows
+            for f in os.listdir(os.path.join(sc_dir, d))
+            if f.endswith(".parquet"))
     offsets, acc = {}, 0
     for s in range(n_splits):
         offsets[s] = acc
         acc += counts.get(s, 0)
-
-    offset_col = F.element_at(
-        F.array(*[F.lit(offsets[s]) for s in range(n_splits)]), F.col("split_id") + 1
-    ).cast("long")
-    w = Window.partitionBy("split_id").orderBy("repo", "path", "commit")
-    staged = (
-        with_split
-        .withColumn("doc_id", offset_col + F.row_number().over(w).cast("long") - 1)
-        .select("split_id", "doc_id", "repo", "path", "commit", "lang",
-                "content_sha256", "content")
-    )
-    (staged.write.mode("overwrite").partitionBy("split_id")
-     .parquet(os.path.join(index_dir, "staged_corpus")))
 
     info = {
         "n_docs": acc,
@@ -418,11 +416,60 @@ def stage_corpus(
         "tokenizer": tokenizer,
         "positions": positions,
         "store_content": bool(store_content),
+        "staged_local_ids": True,
         "split_counts": {str(k): v for k, v in counts.items()},
         "split_offsets": {str(k): v for k, v in offsets.items()},
     }
     _write_json_atomic(_staging_path(index_dir), info)
     return info
+
+
+def _staged_local_df(corpus: DataFrame, n_splits: int) -> DataFrame:
+    """The staged-corpus frame with SPLIT-LOCAL doc ids, computed in a
+    single split_id-partitioned window pass. Deterministic survivor per
+    doc key: dropDuplicates keeps an ARBITRARY row, so duplicate keys
+    with different content would make the staged bytes (hence the whole
+    index) vary across parallelism — pick max(content_sha256), then
+    max(lang), instead (any total order works; lang joins the tie-break
+    so same-content duplicates with different metadata also pick one
+    deterministic survivor)."""
+    hashed = corpus.withColumn("content_sha256",
+                               F.sha2(F.col("content"), 256))
+    with_split = _with_split(hashed, n_splits)
+    w = Window.partitionBy("split_id").orderBy(
+        "repo", "path", "commit",
+        F.desc("content_sha256"), F.desc("lang"))
+    key = F.struct("repo", "path", "commit")
+    prev = F.lag(F.struct("repo", "path", "commit")).over(w)
+    is_first = prev.isNull() | (key != prev)
+    run = Window.partitionBy("split_id").orderBy(
+        "repo", "path", "commit",
+        F.desc("content_sha256"), F.desc("lang")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        with_split
+        .withColumn("_first", is_first)
+        .withColumn(
+            "doc_id",
+            F.sum(F.col("_first").cast("long")).over(run) - 1)
+        .where(F.col("_first")).drop("_first")
+        .select("split_id", "doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", "content")
+    )
+
+
+def _absolute_ids(df: DataFrame, info: dict, splits: list[int]) -> DataFrame:
+    """Staged rows with GLOBAL doc ids: adds each split's frozen offset
+    when the staging wrote split-local ids (staged_local_ids), no-op for
+    absolute-id stagings (sharded stage_splits, pre-r6 layouts)."""
+    if not info.get("staged_local_ids"):
+        return df
+    offset_map = F.create_map(*[
+        F.lit(v) for s in splits
+        for v in (int(s), int(info["split_offsets"][str(s)]))])
+    return df.withColumn(
+        "doc_id",
+        F.col("doc_id") + F.element_at(offset_map, F.col("split_id")))
 
 
 def _staging_plan_path(index_dir: str) -> str:
@@ -524,6 +571,7 @@ def stage_plan(
         "tokenizer": tokenizer,
         "positions": positions,
         "store_content": bool(store_content),
+        "staged_local_ids": True,
         "split_counts": {str(k): v for k, v in counts.items()},
         "split_offsets": {str(k): v for k, v in offsets.items()},
     }
@@ -568,16 +616,22 @@ def stage_splits(spark: SparkSession, corpus: DataFrame, index_dir: str,
         hashed.withColumn("_rn", F.row_number().over(w_dedup))
         .where(F.col("_rn") == 1).drop("_rn")
     )
-    offset_map = F.create_map(*[
-        F.lit(v) for s in todo
-        for v in (s, plan["split_offsets"][str(s)])])
     w = Window.partitionBy("split_id").orderBy("repo", "path", "commit")
-    staged = deduped.withColumn(
-        "doc_id",
-        F.element_at(offset_map, F.col("split_id")).cast("long")
-        + F.row_number().over(w).cast("long") - 1,
-    ).select("split_id", "doc_id", "repo", "path", "commit", "lang",
-             "content_sha256", "content")
+    local = F.row_number().over(w).cast("long") - 1
+    if plan.get("staged_local_ids"):
+        # same split-local layout the monolithic stage writes (readers
+        # add the frozen offset) — staging.json stays identical across
+        # the two paths
+        doc_id = local
+    else:  # resuming a plan written before the local-id layout
+        offset_map = F.create_map(*[
+            F.lit(v) for s in todo
+            for v in (s, plan["split_offsets"][str(s)])])
+        doc_id = (F.element_at(offset_map, F.col("split_id"))
+                  .cast("long") + local)
+    staged = deduped.withColumn("doc_id", doc_id).select(
+        "split_id", "doc_id", "repo", "path", "commit", "lang",
+        "content_sha256", "content")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     staged.write.mode("overwrite").partitionBy("split_id").parquet(tmp)
@@ -689,6 +743,23 @@ def _encode_partitions(it):
             "df_run", "cf_run", "blocks", "payload_bytes"])
 
 
+def _dedup_doc_dl(it):
+    """Partition-local (doc_id, dl) dedupe over the fused kernel's tf
+    stream. A doc's rows are contiguous within the partition stream, so
+    per-batch drop_duplicates plus a carry of the last doc_id across
+    Arrow batch boundaries yields exactly one row per doc."""
+    last = None
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        sub = pdf.drop_duplicates("doc_id")
+        if last is not None and len(sub) and sub["doc_id"].iloc[0] == last:
+            sub = sub.iloc[1:]
+        if len(sub):
+            last = sub["doc_id"].iloc[-1]
+            yield sub
+
+
 def build_segment(
     spark: SparkSession,
     index_dir: str,
@@ -699,6 +770,7 @@ def build_segment(
     source_desc: str = "",
     bucket_layout: bool = True,
     docs_per_task: int = 256,
+    staged_df: DataFrame | None = None,
 ) -> dict:
     """Phase B for one split: pruned scan → tokenize once → tf →
     salt → sorted block encode. Atomic: temp write → rename → manifest.
@@ -738,9 +810,15 @@ def build_segment(
         M.write_split_manifest(index_dir, split_id, metrics)
         return metrics
 
-    split_rows = spark.read.parquet(
-        os.path.join(index_dir, "staged_corpus")
-    ).where(F.col("split_id") == split_id)  # directory partition pruning
+    # ``staged_df`` lets the driver loop resolve (list) the staged
+    # scan ONCE for all split jobs — spark.read.parquet re-lists the
+    # directory per call, which 16 concurrent split jobs pay 16 times
+    if staged_df is None:
+        staged_df = spark.read.parquet(
+            os.path.join(index_dir, "staged_corpus"))
+    split_rows = _absolute_ids(
+        staged_df.where(F.col("split_id") == split_id),  # dir pruning
+        info, [split_id])
 
     # a split's partition is typically ONE parquet file → the scan stage
     # gets one task and the tokenize UDF runs single-threaded per split
@@ -831,8 +909,14 @@ def build_segment(
         os.replace(tmp_dir, seg_dir)
 
         # per-doc dl side table (query-time dl broadcast + docs/ column);
-        # docs with zero tokens have no tf rows → coalesced to dl=0 later
-        ddl = tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        # docs with zero tokens have no tf rows → coalesced to dl=0 later.
+        # A doc's tf rows all live in ONE partition of tf (the fused
+        # kernel emits a doc's rows together and never splits a doc
+        # across tasks), so the dedupe is PARTITION-LOCAL — a
+        # mapInPandas pass with no groupBy exchange (one stage fewer
+        # per split job than the old groupBy(doc_id).first aggregation)
+        ddl = tf.select("doc_id", "dl").mapInPandas(
+            _dedup_doc_dl, "doc_id long, dl long")
         ddl.write.mode("overwrite").parquet(dl_dir)
     finally:
         tf.unpersist(blocking=False)
@@ -1014,12 +1098,21 @@ def finalize_postings_buckets(spark: SparkSession, index_dir: str,
                 ).alias("blocks"),
             )
         )
-        (merged.sortWithinPartitions("term")
-         .write.mode("overwrite").partitionBy("term_bucket")
-         .parquet(tmp_post))
-        postings_task = spark.read.parquet(tmp_post)
-        write_dictionary(spark, postings_task, n_docs, index_dir,
-                         out=tmp_dict)
+        # persist the merged runs across the two writes: the dict is an
+        # aggregation OVER merged (Σ df/cf per term), so computing it
+        # from the cached frame skips the old read-back of tmp_post
+        # (directory listing + footer inference + a full re-scan and
+        # re-shuffle per finalize task). Column pruning drops the heavy
+        # blocks column from the cached read on the dict side.
+        merged = merged.persist()
+        try:
+            (merged.sortWithinPartitions("term")
+             .write.mode("overwrite").partitionBy("term_bucket")
+             .parquet(tmp_post))
+            write_dictionary(spark, merged, n_docs, index_dir,
+                             out=tmp_dict)
+        finally:
+            merged.unpersist(blocking=False)
         # per-bucket metrics from the freshly written parquet, driver-
         # side via footers + the tiny dict files — a third Spark job
         # per finalize task (the old groupBy/countDistinct agg) was a
@@ -1092,8 +1185,11 @@ def finalize_docs_splits(spark: SparkSession, index_dir: str,
         meta_cols = ["doc_id", "repo", "path", "commit", "lang",
                      "content_sha256", "split_id"]
         staged = (
-            spark.read.parquet(os.path.join(index_dir, "staged_corpus"))
-            .where(F.col("split_id").isin(nonempty))
+            _absolute_ids(
+                spark.read.parquet(
+                    os.path.join(index_dir, "staged_corpus"))
+                .where(F.col("split_id").isin(nonempty)),
+                info, nonempty)
             .select(*meta_cols, *(["content"] if store else []))
         )
         if dl_dirs:
@@ -1450,11 +1546,14 @@ def build_index(
     else:
         to_run, to_fail = pending, []
 
+    staged_df = (spark.read.parquet(
+        os.path.join(index_dir, "staged_corpus")) if to_run else None)
+
     def run(split_id: int) -> None:
         build_segment(spark, index_dir, split_id, info,
                       salt_threshold=salt_threshold, n_salts=n_salts,
                       source_desc=source_desc,
-                      bucket_layout=bucket_layout)
+                      bucket_layout=bucket_layout, staged_df=staged_df)
 
     t0 = time.time()
     if max_concurrent_splits <= 1 or len(to_run) <= 1:

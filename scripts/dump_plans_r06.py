@@ -113,36 +113,22 @@ def main():
 
 
 def _stage_write_df(spark, corpus, B, F, Window):
-    """Mirror of the staged-write dataframe stage_corpus executes."""
-    n_splits = 4
-    hashed = corpus.withColumn("content_sha256",
-                               F.sha2(F.col("content"), 256))
-    w_dedup = Window.partitionBy("repo", "path", "commit").orderBy(
-        F.desc("content_sha256"), F.desc("lang"))
-    deduped = (hashed.withColumn("_rn", F.row_number().over(w_dedup))
-               .where(F.col("_rn") == 1).drop("_rn"))
-    with_split = B._with_split(deduped, n_splits)
-    offset_col = F.element_at(
-        F.array(*[F.lit(0) for s in range(n_splits)]),
-        F.col("split_id") + 1).cast("long")
-    w = Window.partitionBy("split_id").orderBy("repo", "path", "commit")
-    return (with_split
-            .withColumn("doc_id",
-                        offset_col + F.row_number().over(w).cast("long") - 1)
-            .select("split_id", "doc_id", "repo", "path", "commit", "lang",
-                    "content_sha256", "content"))
+    """The staged-write dataframe stage_corpus executes (r6: the
+    production helper itself)."""
+    return B._staged_local_df(corpus, 4)
 
 
 def _dl_df(tf, F):
-    return tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    from datastream_io_spark.operators import build as B
+    return tf.select("doc_id", "dl").mapInPandas(
+        B._dedup_doc_dl, "doc_id long, dl long")
 
 
 def _dict_df(spark, idx, B, F, info, merged):
-    """Mirror of write_dictionary's input as finalize runs it today
-    (read-back of the freshly written postings)."""
-    postings = spark.read.parquet(os.path.join(idx, "postings"))
+    """Mirror of write_dictionary's input as finalize runs it (r6:
+    aggregation over the persisted merged frame, no read-back)."""
     n_docs = int(info["n_docs"])
-    return (postings.groupBy("term", "term_bucket")
+    return (merged.groupBy("term", "term_bucket")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             .select("term", "term_bucket", "df", "cf",
                     F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5)
