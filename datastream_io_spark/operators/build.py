@@ -771,6 +771,7 @@ def build_segment(
     bucket_layout: bool = True,
     docs_per_task: int = 256,
     staged_df: DataFrame | None = None,
+    fan_cap: int | None = None,
 ) -> dict:
     """Phase B for one split: pruned scan → tokenize once → tf →
     salt → sorted block encode. Atomic: temp write → rename → manifest.
@@ -828,7 +829,13 @@ def build_segment(
     # blanket defaultParallelism turns a 1k-doc split into 32 near-empty
     # tasks whose scheduling overhead dominates the whole phase
     # (measured ~35% of the 20k-file segments phase at local[32], r5).
+    # ``fan_cap`` further bounds the fan when SEVERAL split jobs run
+    # concurrently (build_index passes cores/concurrency): 4 concurrent
+    # splits each fanning to all 32 slots oversubscribe 4× and pay 4×
+    # the per-task scheduling + Arrow batch overhead for zero extra
+    # parallelism (measured r6: the sf1.0 segments phase).
     fan = min(max(4, -(-count // docs_per_task)),
+              fan_cap or spark.sparkContext.defaultParallelism,
               spark.sparkContext.defaultParallelism)
     with_positions = bool(info.get("positions", False))
     # fused tokenize+tf kernel: tokenizes AND aggregates (tf, dl,
@@ -1548,12 +1555,17 @@ def build_index(
 
     staged_df = (spark.read.parquet(
         os.path.join(index_dir, "staged_corpus")) if to_run else None)
+    # concurrent split jobs share the executor slots — cap each job's
+    # fan so the wave fills the cluster once instead of oversubscribing
+    n_conc = max(1, min(max_concurrent_splits, len(to_run) or 1))
+    fan_cap = max(4, spark.sparkContext.defaultParallelism // n_conc)
 
     def run(split_id: int) -> None:
         build_segment(spark, index_dir, split_id, info,
                       salt_threshold=salt_threshold, n_salts=n_salts,
                       source_desc=source_desc,
-                      bucket_layout=bucket_layout, staged_df=staged_df)
+                      bucket_layout=bucket_layout, staged_df=staged_df,
+                      fan_cap=fan_cap)
 
     t0 = time.time()
     if max_concurrent_splits <= 1 or len(to_run) <= 1:

@@ -60,4 +60,31 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spawn the session's Python worker pool once, at session
+    creation: one task per core imports numpy/pandas/pyarrow so the
+    fork + import cost (~2-4 s across a 32-core pool) is paid during
+    initialization, not inside the first real mapInPandas/UDF stage of
+    whatever job runs first. Workers are reused across tasks
+    (spark.python.worker.reuse default), so the pool stays warm for
+    the session's lifetime. No data is touched and nothing is cached —
+    this is runtime warmup, the Python-side analogue of JVM warmup."""
+    if getattr(spark, "_dsio_workers_warm", False):
+        return
+    n = spark.sparkContext.defaultParallelism
+
+    def _imports(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+        yield from it
+
+    try:
+        spark.range(0, n, 1, n).mapInPandas(_imports, "id long").count()
+    except Exception:
+        pass  # warmup is best-effort; never fail session creation
+    spark._dsio_workers_warm = True
