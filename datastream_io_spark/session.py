@@ -85,6 +85,52 @@ def _warm_python_workers(spark: SparkSession) -> None:
 
     try:
         spark.range(0, n, 1, n).mapInPandas(_imports, "id long").count()
+        _warm_engine_paths(spark)
     except Exception:
         pass  # warmup is best-effort; never fail session creation
     spark._dsio_workers_warm = True
+
+
+def _warm_engine_paths(spark: SparkSession) -> None:
+    """Run a 64-doc throwaway build + one query at session creation so
+    the JVM compiles the engine's plan shapes (sha2/window staging,
+    Arrow tokenize/encode kernels, partitioned parquet writes, the
+    pruned rank plan) BEFORE the first real job. Pure JIT/codegen and
+    commit-protocol warmup over synthetic literals: no user input is
+    read and nothing survives the call — the first production build
+    otherwise pays several seconds of one-time compilation inside its
+    own wall-clock. Disable with SPARK_GRAFT_NO_ENGINE_WARMUP=1 (e.g.
+    short-lived sessions that never build an index)."""
+    if os.environ.get("SPARK_GRAFT_NO_ENGINE_WARMUP"):
+        return
+    import shutil
+    import tempfile
+
+    from datastream_io_spark.operators.build import build_index
+    from datastream_io_spark.operators.indexed_search import (
+        Searcher,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dsio_warm_")
+    try:
+        rows = [(f"r{i % 3}", f"p{i}", "c0", "py",
+                 f"alpha beta gamma delta tok{i} tok{i % 7}")
+                for i in range(64)]
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, "
+                  "lang string, content string"
+        ).repartition(2).write.mode("overwrite").parquet(src)
+        idx = os.path.join(tmp, "idx")
+        build_index(spark, spark.read.parquet(src), idx, n_splits=2,
+                    n_buckets=4, tokenizer="simple", positions=True,
+                    max_concurrent_splits=2)
+        Searcher(spark, idx).search("alpha beta", 3, "and").collect()
+        # second micro-build through the code tokenizer (the other
+        # Arrow kernel family) — non-positional, so both codec shapes
+        # are compiled too
+        build_index(spark, spark.read.parquet(src),
+                    os.path.join(tmp, "idx2"), n_splits=2, n_buckets=4,
+                    tokenizer="code", max_concurrent_splits=2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
