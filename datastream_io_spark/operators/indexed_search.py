@@ -788,23 +788,53 @@ def _near_filter(cand: np.ndarray, spec: NearSpec, blocks_of: dict,
         ok = (np.searchsorted(k2, lowk, side="left")
               < np.searchsorted(k2, highk, side="right"))
         return np.unique(d1[ok])
-    out = []
-    for d in cand:
-        plists = []
-        for docs, poss in per_term:
-            lo = np.searchsorted(docs, d)
-            hi = np.searchsorted(docs, d, side="right")
-            if lo == hi:
-                plists = None
-                break
-            plists.append(poss[lo:hi])
-        if plists is None:
-            continue
-        hit = (_ordered_chain(plists, bound) if spec.ordered
-               else _unordered_window(plists, bound))
-        if hit:
-            out.append(int(d))
-    return np.asarray(out, np.int64)
+    # T ≥ 3 — vectorized over ALL candidate docs at once on the
+    # combined keys (doc << POS_BITS) | pos (sorted: _positions_of
+    # emits doc-major, position-ascending). The scalar per-candidate
+    # forms (_ordered_chain / _unordered_window) remain as the
+    # reference oracle in tests.
+    keys = [(d << _POS_BITS) | p for d, p in per_term]
+    if spec.ordered:
+        # greedy chain, all chain-starts at once: from every t1
+        # occurrence take the smallest strictly-larger key in t2, then
+        # t3, ... (T−1 searchsorted passes). Greedy minimizes the chain
+        # end for each start, so span ≤ bound on the greedy chain is
+        # exact. A hop that leaves the start's doc can never return
+        # (keys are monotone), so the final same-doc check is sound.
+        d1 = per_term[0][0]
+        start = keys[0]
+        cur = start
+        sentinel = np.iinfo(np.int64).max
+        for ki in keys[1:]:
+            idx = np.searchsorted(ki, cur, side="right")
+            ok = idx < ki.size
+            nxt = np.full(cur.shape, sentinel, np.int64)
+            nxt[ok] = ki[idx[ok]]
+            cur = nxt
+        doc_ok = (cur >> _POS_BITS) == d1
+        hit = np.zeros(cur.shape, bool)
+        hit[doc_ok] = (cur[doc_ok] - start[doc_ok]) <= bound
+        return np.unique(d1[hit])
+    # unordered: treat every occurrence as a window END; the doc
+    # matches iff for each term its latest occurrence at-or-before the
+    # end is within the window and inside the same doc. "Latest
+    # occurrence per term" is one running-max accumulate per term over
+    # the merged sorted stream.
+    allk = np.concatenate(keys)
+    lab = np.concatenate([np.full(k.size, i, np.int64)
+                          for i, k in enumerate(keys)])
+    o = np.argsort(allk, kind="stable")
+    allk, lab = allk[o], lab[o]
+    doc_base = (allk >> _POS_BITS) << _POS_BITS
+    win_lo = np.maximum(allk - bound, doc_base)
+    hit = np.ones(allk.shape, bool)
+    for t in range(len(keys)):
+        acc = np.maximum.accumulate(
+            np.where(lab == t, allk, np.int64(-1)))
+        hit &= acc >= win_lo
+        if not hit.any():
+            return np.zeros(0, np.int64)
+    return np.unique(allk[hit] >> _POS_BITS)
 
 
 def _or_candidates(term_rows: list, idf: dict[str, float], avgdl: float,

@@ -56,3 +56,58 @@ def test_udtf_explode_identifiers(spark):
     rows = ExplodeIdentifiers(lit("def parseConfig(x):")).collect()
     assert [(r.term, r.pos) for r in rows] == [
         ("def", 0), ("parseconfig", 1), ("parse", 2), ("config", 3), ("x", 4)]
+
+
+def test_ivf_assign_kernel_parity_and_no_literal_tree(spark, embeddings):
+    """r6: past IVF_COLUMN_MAX_CENTROIDS the assigner must switch to
+    the broadcast-matrix mapInPandas kernel (no nlist×dim literal tree
+    in the plan) and agree with the Column-literal path row for row on
+    the same codebook."""
+    import numpy as np
+
+    cents = DP.train_centroids(embeddings, n_clusters=16, n_iters=5)
+    col_path = DP.ivf_assign(embeddings, cents)
+    old = DP.IVF_COLUMN_MAX_CENTROIDS
+    DP.IVF_COLUMN_MAX_CENTROIDS = 8  # force the kernel for 16 cents
+    try:
+        kern_path = DP.ivf_assign(embeddings, cents)
+    finally:
+        DP.IVF_COLUMN_MAX_CENTROIDS = old
+    plan = kern_path._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "ArrowEval" in plan
+    # the plan must NOT inline the codebook as literals
+    assert str(round(float(cents[7][3]), 6))[:6] not in plan
+    a = {r["vec_id"]: r["cluster"] for r in col_path.collect()}
+    b = {r["vec_id"]: r["cluster"] for r in kern_path.collect()}
+    assert a == b
+
+
+def test_ivf_large_codebook_recall_sweep(spark):
+    """r6: nlist=256 through the kernel assigner — recall@10 vs brute
+    force must be perfect at full probe and monotone-ish in nprobe."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n, dim = 3000, 16
+    X = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": [list(map(float, r)) for r in X]})
+    emb = spark.createDataFrame(pdf)
+    cents = DP.train_centroids(emb, n_clusters=256, n_iters=4)
+    assert len(cents) == 256 > DP.IVF_COLUMN_MAX_CENTROIDS
+    assigned = DP.ivf_assign(emb, cents)
+    assert assigned.select("cluster").distinct().count() > 32
+
+    q = [float(v) for v in X[123]]
+    exact = [r.vec_id for r in
+             DP.cosine_topk_bruteforce(emb, q, k=10).collect()]
+    recalls = []
+    for nprobe in (4, 64, 256):
+        got = [r.vec_id for r in
+               DP.ivf_topk(assigned, cents, q, k=10,
+                           nprobe=nprobe).collect()]
+        recalls.append(len(set(got) & set(exact)) / 10)
+    assert recalls[-1] == 1.0          # full probe == brute force
+    assert recalls[0] <= recalls[-1]   # more probes never lose recall
+    assert recalls[1] >= 0.5           # quarter of the codebook: decent

@@ -335,3 +335,65 @@ def test_near_two_term_fast_path_matches_general_kernels():
                            _unordered_window([pos_a[d], pos_b[d]],
                                              bound))]
                 assert list(got) == exp, (trial, slop, ordered)
+
+
+def test_near_multi_term_vectorized_matches_scalar_kernels():
+    """Randomized pin for the r6 vectorized T≥3 proximity kernel: the
+    all-candidates searchsorted chain (ordered) / running-max window
+    scan (unordered) must agree with the scalar per-doc reference
+    algorithms for T = 3 and 4 on adversarial layouts."""
+    import numpy as np
+
+    from datastream_io_spark.operators.codec import encode_blocks
+    from datastream_io_spark.operators.indexed_search import (
+        NearSpec, _near_filter, _ordered_chain, _unordered_window)
+
+    rng = np.random.default_rng(7)
+    for n_terms in (3, 4):
+        terms = [chr(ord("a") + i) for i in range(n_terms)]
+        for trial in range(15):
+            n_docs = 30
+            pos_of = {t: {} for t in terms}
+            for d in range(n_docs):
+                used = np.array([], np.int64)
+                for t in terms:
+                    n = int(rng.integers(0, 5))
+                    pool = np.concatenate([
+                        rng.integers(0, 10, size=25),
+                        rng.integers(0, 120, size=25)])
+                    p = (np.unique(rng.choice(pool, size=n)) if n
+                         else np.array([], np.int64))
+                    p = np.setdiff1d(p, used)  # one token per position
+                    used = np.union1d(used, p)
+                    if len(p):
+                        pos_of[t][d] = p.astype(np.int64)
+
+            def blocks_for(pmap):
+                ids = np.array(sorted(pmap), np.int64)
+                tfs = np.array([len(pmap[d]) for d in ids], np.int64)
+                dls = np.full(ids.size, 50, np.int64)
+                poss = (np.concatenate([pmap[d] for d in ids])
+                        if len(ids) else np.array([], np.int64))
+                return encode_blocks(ids, tfs, dls, positions=poss)
+
+            blocks_of = {t: blocks_for(pos_of[t]) for t in terms}
+            cand = set(range(n_docs))
+            for t in terms:
+                cand &= set(pos_of[t])
+            cand = np.array(sorted(cand), np.int64)
+            if not len(cand):
+                continue
+            for slop in (0, 1, 3):
+                for ordered in (False, True):
+                    spec = NearSpec(terms, slop, ordered)
+                    got = _near_filter(cand, spec, blocks_of, {})
+                    bound = (n_terms - 1) + slop
+                    exp = [d for d in cand
+                           if (_ordered_chain(
+                                   [pos_of[t][d] for t in terms], bound)
+                               if ordered else
+                               _unordered_window(
+                                   [pos_of[t][d] for t in terms],
+                                   bound))]
+                    assert list(got) == exp, (n_terms, trial, slop,
+                                              ordered)
