@@ -178,23 +178,31 @@ def _build_term_sidecars_locked(spark: SparkSession, index_dir: str,
     # (gram, occ) against the query's occurrence-indexed grams computes
     # Σ_g min(count_term(g), count_query(g)) — the exact multiset
     # intersection the count filter needs
+    # occurrence index computed POSITIONALLY inside the scan stage
+    # (occ of gram g at position p = how many earlier positions hold
+    # g) — same 0..c-1 numbering the old row_number window assigned,
+    # without its (term, gram) shuffle + sort. Terms are short, so the
+    # per-element prefix filter is O(len²) on ≤ a few dozen chars.
+    grams_arr = F.expr(
+        f"transform(sequence(1, length(term) - {GRAM_N - 1}), "
+        f"i -> substring(term, i, {GRAM_N}))")
     with_grams = (
         d.select("term", "df", "idf", "term_bucket",
-                 F.length("term").cast("int").alias("term_len"))
+                 F.length("term").cast("int").alias("term_len"),
+                 grams_arr.alias("_grams"))
         .where(F.length("term") >= GRAM_N)
         .select(
-            "term", "df", "idf", "term_bucket", "term_len",
-            F.explode(F.expr(
-                f"transform(sequence(1, length(term) - {GRAM_N - 1}), "
-                f"i -> substring(term, i, {GRAM_N}))")).alias("gram"))
+            "term", "df", "idf", "term_bucket", "term_len", "_grams",
+            F.posexplode("_grams").alias("_pos", "gram"))
     )
-    from pyspark.sql import Window
-
-    occ_w = Window.partitionBy("term", "gram").orderBy(F.lit(1))
     grams = (
         with_grams
-        .withColumn("occ",
-                    (F.row_number().over(occ_w) - 1).cast("int"))
+        .withColumn(
+            "occ",
+            F.size(F.filter(
+                F.slice(F.col("_grams"), 1, F.col("_pos")),
+                lambda g: g == F.col("gram"))).cast("int"))
+        .drop("_grams", "_pos")
         .withColumn("gram_bucket",
                     F.pmod(F.xxhash64("gram"),
                            F.lit(n_gram_buckets)).cast("int"))
