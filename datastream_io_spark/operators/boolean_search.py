@@ -453,13 +453,20 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
     avgdl = float(stats["avgdl"])
     buckets = sorted({term_bucket(t, n_buckets) for t in all_terms})
 
-    d = spark.read.parquet(os.path.join(index_dir, "dict"))
-    idf = {
-        r["term"]: float(r["idf"])
-        for r in d.where(
-            F.col("term_bucket").isin(buckets)
-            & F.col("term").isin(sorted(positives))).collect()
-    }
+    # one lookup over ALL leaves (NOT leaves included): idf only needs
+    # the positives, but the df sum feeds the single-task payload gate
+    # — and lookup_terms' driver-side fast path makes it job-free on
+    # small dictionaries
+    from datastream_io_spark.operators.indexed_search import (
+        SINGLE_TASK_MAX_POSTINGS,
+        _est_postings,
+        lookup_terms,
+    )
+
+    rows_all = lookup_terms(spark, index_dir, sorted(all_terms),
+                            n_buckets)
+    idf = {r["term"]: float(r["idf"]) for r in rows_all
+           if r["term"] in positives}
 
     tomb, tomb_join = _tombstone_state(spark, index_dir)
     prows = _with_tomb(
@@ -471,8 +478,27 @@ def search_boolean(spark: SparkSession, index_dir: str, query: str,
         tv = _tv_from(pdf, tomb)
         return score_tree_split(tree, idf, avgdl, k, blocks_of, {}, tv)
 
-    cand = prows.groupBy("split_id").applyInPandas(
-        kernel, "doc_id long, score double")
+    est = _est_postings(rows_all)
+    if (tomb_join is None and est is not None
+            and 0 < est <= SINGLE_TASK_MAX_POSTINGS):
+        # small query by dictionary statistics → 1-task, 0-Exchange
+        # rank job (identical per-split output; see _wand_topk)
+        def kernel_single(it):
+            pdfs = [p for p in it if len(p)]
+            if not pdfs:
+                return
+            pdf = (pd.concat(pdfs, ignore_index=True)
+                   if len(pdfs) > 1 else pdfs[0])
+            outs = [kernel(g)
+                    for _, g in pdf.groupby("split_id", sort=False)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+        cand = prows.coalesce(1).mapInPandas(
+            kernel_single, "doc_id long, score double")
+    else:
+        cand = prows.groupBy("split_id").applyInPandas(
+            kernel, "doc_id long, score double")
     return global_topk(spark, index_dir, cand, k, with_doc_cols)
 
 
