@@ -847,7 +847,12 @@ def build_segment(
     # segment write, the dl side-table write) would otherwise each
     # replay the tokenize kernel — measured as 3× the split job's cost
     tf = P.term_stats_fused(
-        split_rows.select("doc_id", "content").repartition(fan),
+        # hash on doc_id (dense, high-cardinality → even spread): a
+        # keyless repartition(fan) would round-robin, which both pays a
+        # local sort of the content rows (sortBeforeRepartition, for
+        # retry determinism) and is the shape guide §2.5 warns about;
+        # the deterministic key gives the same fan-out without either
+        split_rows.select("doc_id", "content").repartition(fan, "doc_id"),
         tokenizer, with_positions,
     ).persist()
     try:
