@@ -54,7 +54,7 @@ def main():
     count = int(info["split_counts"]["0"])
     fan = min(max(4, -(-count // 256)), spark.sparkContext.defaultParallelism)
     tf = P.term_stats_fused(
-        split_rows.select("doc_id", "content").repartition(fan),
+        split_rows.select("doc_id", "content").repartition(fan, "doc_id"),
         "simple", True)
     salted = tf.withColumn("salt", F.lit(0))
     runs = (salted.select("term", "salt", "doc_id", "tf", "dl", "positions")
